@@ -1,0 +1,178 @@
+"""The wavefront path integrator — the hot path.
+
+This is the central architectural inversion over the reference (SURVEY.md §7):
+the recursive depth-first ``TraceStep`` (reference engine.cpp:59-159) becomes
+an *iterative bounce loop over a ray SoA* — every lane carries
+``(start, seg, throughput, radiance, alive)`` and each bounce does
+intersect → shade → spawn for the whole wavefront at once.  The loop is
+unrolled over the (static) maximum depth so XLA fuses each bounce into a
+handful of kernels.
+
+Semantic parity with the reference recursion:
+
+* depth cap 8 → loop length (engine.cpp:16, 62-64),
+* fast-render returns white above depth 1 (engine.cpp:67-70),
+* miss → sky sample ×3 (engine.cpp:92-101, scene.cpp:157-162),
+* backface flip → is_internal (scene.cpp:238-247),
+* ε-offset 0.03 of the continuation segment (engine.cpp:120-127),
+* affine Sample folding: L += T·bias; T *= coef (see materials.shade),
+* depth-0 fog absorption resolved one bounce later, because the reference's
+  fog term needs the *next* hit position (material.cpp:319-339),
+* depth-0 light tone clamp ‖L‖>10 (engine.cpp:148-151),
+* AOVs captured at depth 0 (engine.cpp:94-99, 147-156).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from fspt_tpu import materials as mat_mod
+from fspt_tpu.camera import Camera, generate_rays
+from fspt_tpu.config import RenderConfig
+from fspt_tpu.ops import rng
+from fspt_tpu.ops.intersect import intersect_scene
+from fspt_tpu.render import framebuffer as fb_mod
+from fspt_tpu.scene.builder import ScenePack
+from fspt_tpu.utils import vecmath as vm
+
+
+class TraceOutput(NamedTuple):
+    radiance: jnp.ndarray  # [N,3]
+    aov_normal: jnp.ndarray  # [N,3]
+    aov_depth: jnp.ndarray  # [N]
+    aov_mat: jnp.ndarray  # [N] int32
+    segments: jnp.ndarray  # scalar int32: path segments traced (rays/s metric)
+
+
+def trace_radiance(scene: ScenePack, cfg: RenderConfig, start, seg,
+                   pixel_idx, sample_idx, seed, z_far) -> TraceOutput:
+    """Trace a ray wavefront to completion and return per-lane radiance."""
+    geom = scene.geometry
+    table = scene.materials
+    tex = scene.textures
+
+    n_lanes = start.shape[0]
+    radiance = jnp.zeros((n_lanes, 3), jnp.float32)
+    throughput = jnp.ones((n_lanes, 3), jnp.float32)
+    alive = jnp.ones((n_lanes,), bool)
+    segments = jnp.zeros((), jnp.int32)
+
+    fog_active = jnp.zeros((n_lanes,), bool)
+    fog_from = jnp.zeros((n_lanes, 3), jnp.float32)
+    fog_diffuse = jnp.zeros((n_lanes, 3), jnp.float32)
+    fog_density = jnp.zeros((n_lanes,), jnp.float32)
+    fog_u = jnp.zeros((n_lanes,), jnp.float32)
+
+    aov_normal = jnp.zeros((n_lanes, 3), jnp.float32)
+    aov_depth = jnp.zeros((n_lanes,), jnp.float32)
+    aov_mat = jnp.zeros((n_lanes,), jnp.int32)
+    primary_light_hit = jnp.zeros((n_lanes,), bool)
+
+    for depth in range(cfg.effective_depth):
+        segments = segments + jnp.sum(alive.astype(jnp.int32))
+
+        hit = intersect_scene(geom, start, seg)
+
+        # Backface flip → is_internal (scene.cpp:238-247): the start point
+        # lies behind the plane through (normal, hit point).
+        side = vm.dot(hit.normal, start - hit.point)
+        internal = side < 0.0
+        normal = jnp.where(internal[:, None], -hit.normal, hit.normal)
+
+        # Depth-0 fog gets resolved here, one bounce late, because the
+        # reference's absorption term uses the *next* bounce's origin
+        # (material.cpp:330-337): light_pos is the next hit point, or the
+        # segment end on a miss (engine.cpp:89-91).
+        if depth >= 1:
+            light_pos = jnp.where(hit.hit[:, None], hit.point, start + seg)
+            dist = vm.length(light_pos - fog_from)
+            thresh = jnp.clip(dist * dist * fog_density * 0.00005, 0.0, 1.0)
+            absorbed = fog_active & (fog_u < thresh)
+            radiance = radiance + jnp.where(
+                (absorbed & alive)[:, None], throughput * fog_diffuse, 0.0
+            )
+            alive = alive & ~absorbed
+            fog_active = jnp.zeros_like(fog_active)
+
+        # Misses sample the sky (engine.cpp:92-101). In fast-render mode this
+        # loop only covers depths 0..1; deeper lanes get white after it.
+        miss = alive & ~hit.hit
+        view_dir = vm.normalize(seg)
+        sky_rgb = mat_mod.sample_sky(table, tex, scene.sky_mat, view_dir)
+        radiance = radiance + jnp.where(miss[:, None], throughput * sky_rgb, 0.0)
+
+        active = alive & hit.hit
+        view = vm.normalize(hit.point - start)
+        uniforms = rng.bounce_uniforms(seed, pixel_idx, sample_idx, depth,
+                                       cfg.bounce_slots)
+        sh = mat_mod.shade(table, tex, hit.mat, view, normal, hit.texcoords, uniforms)
+
+        if depth == 0:
+            aov_normal = jnp.where(hit.hit[:, None], normal, view_dir)
+            aov_depth = jnp.where(hit.hit, vm.length(hit.point - start), z_far)
+            aov_mat = jnp.where(hit.hit, hit.mat, scene.sky_mat)
+            primary_light_hit = hit.hit & sh.is_light
+            mark = active & sh.is_fog
+            fog_active = mark
+            fog_from = jnp.where(mark[:, None], hit.point, fog_from)
+            fog_diffuse = jnp.where(mark[:, None], sh.fog_diffuse, fog_diffuse)
+            fog_density = jnp.where(mark, sh.fog_density, fog_density)
+            fog_u = jnp.where(mark, uniforms[:, 3], fog_u)
+
+        radiance = radiance + jnp.where(active[:, None], throughput * sh.bias, 0.0)
+        throughput = jnp.where(active[:, None], throughput * sh.coef, throughput)
+
+        new_start = hit.point + sh.direction * cfg.ray_offset
+        new_seg = sh.direction * (z_far - cfg.ray_offset)
+        start = jnp.where(active[:, None], new_start, start)
+        seg = jnp.where(active[:, None], new_seg, seg)
+
+        alive = active & sh.will_indirect
+
+    if cfg.fast_render:
+        # Lanes that would recurse past depth 1 return white (engine.cpp:67-70).
+        radiance = radiance + jnp.where(alive[:, None], throughput, 0.0)
+    # else: lanes alive after the last bounce hit the depth cap → 0
+    # contribution (engine.cpp:62-64).
+
+    # Depth-0 light tone clamp (engine.cpp:148-151).
+    norm = vm.length(radiance)
+    clamp = primary_light_hit & (norm > cfg.light_clamp)
+    scale = jnp.where(clamp, cfg.light_clamp / jnp.maximum(norm, 1e-30), 1.0)
+    radiance = radiance * scale[:, None]
+
+    return TraceOutput(
+        radiance=radiance,
+        aov_normal=aov_normal,
+        aov_depth=aov_depth,
+        aov_mat=aov_mat,
+        segments=segments,
+    )
+
+
+def render_wavefront(scene: ScenePack, camera: Camera, cfg: RenderConfig,
+                     seed, sample0) -> TraceOutput:
+    """Generate the H×W×spp primary wavefront and trace it."""
+    start, seg, pixel_idx, sample_idx = generate_rays(
+        camera, cfg.width, cfg.height, cfg.spp, seed, sample0
+    )
+    return trace_radiance(scene, cfg, start, seg, pixel_idx, sample_idx,
+                          seed, camera.z_far)
+
+
+def render_step(scene: ScenePack, camera: Camera, cfg: RenderConfig,
+                fb: fb_mod.Framebuffer, seed, frame_idx):
+    """One progressive render step: trace spp samples/pixel and accumulate.
+
+    The TPU analog of one ``TraceScene`` frame (engine.cpp:253-296); returns
+    the updated framebuffer and the segment count for the rays/s metric.
+    """
+    sample0 = frame_idx * cfg.spp
+    out = render_wavefront(scene, camera, cfg, seed, sample0)
+    fb = fb_mod.accumulate(
+        fb, out.radiance, out.aov_normal, out.aov_depth, out.aov_mat,
+        cfg.height, cfg.width, cfg.spp,
+    )
+    return fb, out.segments
