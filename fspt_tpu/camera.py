@@ -65,12 +65,18 @@ def camera_basis(camera: Camera):
     return forward, right, up
 
 
-def generate_rays(camera: Camera, width: int, height: int, spp: int, seed, sample0):
+def generate_rays(camera: Camera, width: int, height: int, spp: int, seed, sample0,
+                  y0=0, rows=None):
     """Build the primary-ray wavefront.
 
     Returns ``(start[N,3], seg[N,3], pixel_idx[N], sample_idx[N])`` with
-    ``N = height*width*spp``, lanes ordered pixel-major then sample so pixel
+    ``N = rows*width*spp``, lanes ordered pixel-major then sample so pixel
     ``p``'s samples are contiguous.
+
+    ``y0``/``rows`` select a horizontal band of scanlines — the sharding unit
+    (the TPU analog of the reference's per-thread bands, engine.cpp:181-182).
+    ``pixel_idx`` stays *global*, so RNG streams — and therefore the rendered
+    image — are invariant to how the band is sharded across devices.
 
     Semantics per reference engine.cpp:205-244:
     * ±0.5px uniform jitter anti-aliasing,
@@ -79,6 +85,8 @@ def generate_rays(camera: Camera, width: int, height: int, spp: int, seed, sampl
       plane, jitter the origin on a uniform aperture disk, re-aim through the
       focal point.
     """
+    if rows is None:
+        rows = height
     forward, right, up = camera_basis(camera)
 
     fovy = camera.fov_y * (vm.PI / 180.0)
@@ -89,7 +97,7 @@ def generate_rays(camera: Camera, width: int, height: int, spp: int, seed, sampl
     proj_origin = camera.origin + forward * camera.z_far
 
     ys, xs, ss = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.int32),
+        jnp.arange(rows, dtype=jnp.int32) + jnp.asarray(y0, jnp.int32),
         jnp.arange(width, dtype=jnp.int32),
         jnp.arange(spp, dtype=jnp.int32),
         indexing="ij",

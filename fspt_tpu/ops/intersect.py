@@ -78,7 +78,9 @@ def intersect_spheres(g: GeometryPack, start, seg):
     oc2 = jnp.sum(oc * oc, axis=-1)
     c = oc2 - (g.sph_radius * g.sph_radius)[None, :]
     d = b * b - 4.0 * a * c
-    sq = jnp.sqrt(jnp.maximum(d, 0.0))
+    # where-guard (not max) so missing rays (d<0) don't emit 0·inf = NaN in
+    # the backward pass: sqrt is only evaluated where the hit is valid.
+    sq = jnp.sqrt(jnp.where(d >= 0.0, d, 1.0))
     inside = oc2 <= (g.sph_radius * g.sph_radius)[None, :]
     t = jnp.where(inside, -b + sq, -b - sq) / (2.0 * a)
     valid = (d >= 0.0) & (t >= 0.0) & (t <= 1.0) & g.sph_valid[None, :]

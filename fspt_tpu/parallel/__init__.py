@@ -1,0 +1,21 @@
+"""Device-mesh parallelism for the wavefront renderer.
+
+The reference's entire parallel story is one std::thread per hardware thread,
+each owning a band of scanlines with a join barrier per frame
+(reference engine.cpp:261-281).  Here that becomes a 1-D ``jax.sharding.Mesh``
+over chips: each device renders a band of scanlines (``shard_map``), the
+framebuffer lives band-sharded with *no* forward collective, and gradient
+reduction (``psum``) appears only in the differentiable path.
+"""
+
+from fspt_tpu.parallel.mesh import make_mesh, mesh_devices
+from fspt_tpu.parallel.render import make_sharded_render_step, sharded_framebuffer
+from fspt_tpu.parallel.train import make_recovery_step
+
+__all__ = [
+    "make_mesh",
+    "mesh_devices",
+    "make_sharded_render_step",
+    "sharded_framebuffer",
+    "make_recovery_step",
+]

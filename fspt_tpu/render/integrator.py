@@ -137,10 +137,12 @@ def trace_radiance(scene: ScenePack, cfg: RenderConfig, start, seg,
     # else: lanes alive after the last bounce hit the depth cap → 0
     # contribution (engine.cpp:62-64).
 
-    # Depth-0 light tone clamp (engine.cpp:148-151).
-    norm = vm.length(radiance)
+    # Depth-0 light tone clamp (engine.cpp:148-151).  The 1e-20 floor keeps
+    # sqrt's gradient finite for black pixels (norm would otherwise be
+    # sqrt(0) whose cotangent is inf → NaN in the backward pass).
+    norm = jnp.sqrt(jnp.maximum(vm.dot(radiance, radiance), 1e-20))
     clamp = primary_light_hit & (norm > cfg.light_clamp)
-    scale = jnp.where(clamp, cfg.light_clamp / jnp.maximum(norm, 1e-30), 1.0)
+    scale = jnp.where(clamp, cfg.light_clamp / norm, 1.0)
     radiance = radiance * scale[:, None]
 
     return TraceOutput(
@@ -153,26 +155,28 @@ def trace_radiance(scene: ScenePack, cfg: RenderConfig, start, seg,
 
 
 def render_wavefront(scene: ScenePack, camera: Camera, cfg: RenderConfig,
-                     seed, sample0) -> TraceOutput:
-    """Generate the H×W×spp primary wavefront and trace it."""
+                     seed, sample0, y0=0, rows=None) -> TraceOutput:
+    """Generate the rows×W×spp primary wavefront and trace it."""
     start, seg, pixel_idx, sample_idx = generate_rays(
-        camera, cfg.width, cfg.height, cfg.spp, seed, sample0
+        camera, cfg.width, cfg.height, cfg.spp, seed, sample0, y0=y0, rows=rows
     )
     return trace_radiance(scene, cfg, start, seg, pixel_idx, sample_idx,
                           seed, camera.z_far)
 
 
 def render_step(scene: ScenePack, camera: Camera, cfg: RenderConfig,
-                fb: fb_mod.Framebuffer, seed, frame_idx):
+                fb: fb_mod.Framebuffer, seed, frame_idx, y0=0):
     """One progressive render step: trace spp samples/pixel and accumulate.
 
     The TPU analog of one ``TraceScene`` frame (engine.cpp:253-296); returns
     the updated framebuffer and the segment count for the rays/s metric.
+    ``fb`` may be a horizontal band starting at scanline ``y0`` (sharding).
     """
+    rows = fb.mean.shape[0]
     sample0 = frame_idx * cfg.spp
-    out = render_wavefront(scene, camera, cfg, seed, sample0)
+    out = render_wavefront(scene, camera, cfg, seed, sample0, y0=y0, rows=rows)
     fb = fb_mod.accumulate(
         fb, out.radiance, out.aov_normal, out.aov_depth, out.aov_mat,
-        cfg.height, cfg.width, cfg.spp,
+        rows, cfg.width, cfg.spp,
     )
     return fb, out.segments

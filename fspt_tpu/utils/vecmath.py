@@ -55,7 +55,8 @@ def refract(v, n, index):
     """
     n_dot_v = -dot(v, n)
     sin2 = (index * index) * (1.0 - n_dot_v * n_dot_v)
-    refr = v * index[..., None] + n * (index * n_dot_v - jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0)))[..., None]
+    # The 1e-12 floor keeps sqrt's gradient finite at grazing/TIR angles.
+    refr = v * index[..., None] + n * (index * n_dot_v - jnp.sqrt(jnp.maximum(1.0 - sin2, 1e-12)))[..., None]
     out = normalize(refr)
     return jnp.where((sin2 >= 1.0)[..., None], 0.0, out)
 

@@ -1,0 +1,82 @@
+"""Sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4.4).
+
+The key property: band-sharded rendering is *bit-identical* to single-device
+rendering, because RNG streams key on global pixel ids and the framebuffer
+accumulate has no cross-band reduction.
+"""
+
+import jax
+import numpy as np
+
+from fspt_tpu.config import RenderConfig
+from fspt_tpu.parallel import (
+    make_mesh,
+    make_recovery_step,
+    make_sharded_render_step,
+    sharded_framebuffer,
+)
+from fspt_tpu.render import framebuffer as fb_mod
+from fspt_tpu.render import integrator
+
+from conftest import build_cornell_box
+
+
+def test_sharded_matches_single_device():
+    builder = build_cornell_box()
+    scene = builder.compile()
+    camera = builder.cameras[0]
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3)
+
+    fb1 = fb_mod.create(cfg.height, cfg.width)
+    step1 = jax.jit(integrator.render_step, static_argnames=("cfg",))
+    fb1, segs1 = step1(scene, camera, cfg, fb1, 7, 0)
+
+    mesh = make_mesh(8)
+    fb8 = sharded_framebuffer(mesh, cfg.height, cfg.width)
+    step8 = make_sharded_render_step(mesh, cfg)
+    fb8, segs8 = step8(scene, camera, fb8, 7, 0)
+
+    np.testing.assert_array_equal(np.asarray(fb1.mean), np.asarray(fb8.mean))
+    np.testing.assert_array_equal(np.asarray(fb1.depth), np.asarray(fb8.depth))
+    assert int(segs1) == int(segs8)
+
+
+def test_sharded_matches_any_device_count():
+    builder = build_cornell_box()
+    scene = builder.compile()
+    camera = builder.cameras[0]
+    cfg = RenderConfig(width=8, height=8, spp=1, max_depth=2)
+
+    images = []
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(n)
+        fb = sharded_framebuffer(mesh, cfg.height, cfg.width)
+        step = make_sharded_render_step(mesh, cfg)
+        fb, _ = step(scene, camera, fb, 3, 0)
+        images.append(np.asarray(fb.mean))
+    for img in images[1:]:
+        np.testing.assert_array_equal(images[0], img)
+
+
+def test_recovery_step_reduces_loss():
+    """Sharded differentiable recovery: loss decreases, grads are synced."""
+    builder = build_cornell_box()
+    scene = builder.compile()
+    camera = builder.cameras[0]
+    cfg = RenderConfig(width=8, height=8, spp=2, max_depth=2)
+
+    # Target: image rendered with the true albedo table.
+    mesh = make_mesh(8)
+    fb = sharded_framebuffer(mesh, cfg.height, cfg.width)
+    step = make_sharded_render_step(mesh, cfg)
+    fb, _ = step(scene, camera, fb, 5, 0)
+    target = np.asarray(fb.mean)
+
+    # Perturb the albedo and recover it.
+    params = {"diffuse": scene.materials.diffuse * 0.5}
+    recover = make_recovery_step(mesh, cfg, param_names=("diffuse",), lr=0.8)
+    losses = []
+    for it in range(12):
+        params, loss = recover(params, scene, camera, target, 5, 0)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.35, losses
