@@ -1,0 +1,677 @@
+"""Full path-tracing Pallas megakernel — the speed-of-light forward path.
+
+One ``pallas_call`` traces the *entire* path of every lane: the bounce loop
+runs inside the kernel, so per-lane state (ray, throughput, radiance, fog
+bookkeeping) lives in vector registers / VMEM for all 8 bounces and touches
+HBM exactly twice — primary rays in, radiance + AOVs out.  This is the final
+form of the wavefront inversion (SURVEY.md §7): the reference's recursive
+``TraceStep`` (engine.cpp:59-159) becomes straight-line vector code over
+8×128 lane tiles.
+
+Specialization strategy (matches ops/pallas_trace.py): the scene — geometry
+*and the material table* — is baked into the kernel at build time.  Shading
+dispatch is a Python loop over the scene's actual material rows, so each lane
+pays only a masked-merge per *used* material instead of a 9-way branch-free
+lattice.  The RNG is the same PCG hash as ops/rng.py, evaluated in-kernel
+with uint32 ops — bit-identical streams to the oracle (verified in tests).
+
+Limitations (fall back to the per-bounce path in ops/pallas_trace.py +
+XLA shading): textured materials / textured sky, and scenes too large to
+specialize.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fspt_tpu import materials as M
+from fspt_tpu.ops.pallas_trace import (
+    HostScene,
+    LANE,
+    MAX_SPECIALIZED_PRIMS,
+    intersect_lanes,
+)
+from fspt_tpu.scene.geometry import INVALID_PARAM
+from fspt_tpu.utils import vecmath as vm
+
+DEFAULT_BLOCK_ROWS = 16  # 16×128 = 2048 lanes/block; best in the bench sweep
+
+U32 = jnp.uint32
+
+
+class HostMaterials:
+    """NumPy snapshot of the material table for kernel baking."""
+
+    def __init__(self, table):
+        f = lambda x: np.asarray(x)
+        self.mtype = f(table.mtype)
+        self.diffuse = f(table.diffuse)
+        self.emissive = f(table.emissive)
+        self.glow = f(table.glow)
+        self.param = f(table.param)
+        self.ior = f(table.ior)
+        self.reflectivity = f(table.reflectivity)
+        self.frost = f(table.frost)
+        self.tex_id = f(table.tex_id)
+
+    @property
+    def count(self):
+        return len(self.mtype)
+
+    @property
+    def any_textured(self):
+        return bool((self.tex_id >= 0).any())
+
+
+# --- in-kernel PCG streams (bit-identical to ops/rng.py) -------------------
+
+
+def _pcg(x):
+    x = x * U32(747796405) + U32(2891336453)
+    word = ((x >> ((x >> U32(28)) + U32(4))) ^ x) * U32(277803737)
+    return (word >> U32(22)) ^ word
+
+
+def _stream_uniform(h0_u32, pix_u32, smp_u32, ctr: int):
+    """Uniform draw; ``h0 = pcg(seed ^ 0x9E3779B9)`` is precomputed host-side
+    so the kernel only does vector uint32 ops (bit-identical to ops/rng.py)."""
+    h = _pcg(h0_u32 + pix_u32)
+    h = _pcg(h + smp_u32)
+    h = _pcg(h + U32(ctr))
+    return pltpu.bitcast(h >> U32(8), jnp.int32).astype(jnp.float32) * np.float32(
+        1.0 / (1 << 24)
+    )
+
+
+def _sphere_dir(u1, u2):
+    z = 1.0 - 2.0 * u1
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = (2.0 * vm.PI) * u2
+    return r * jnp.cos(phi), r * jnp.sin(phi), z
+
+
+def _norm3(x, y, z):
+    n2 = x * x + y * y + z * z
+    inv = jnp.where(n2 > 0.0, jax.lax.rsqrt(jnp.where(n2 > 0.0, n2, 1.0)), 0.0)
+    return x * inv, y * inv, z * inv
+
+
+def _pow25(x):
+    """x**25 by repeated squaring (Mosaic-safe integer power)."""
+    x2 = x * x
+    x4 = x2 * x2
+    x8 = x4 * x4
+    x16 = x8 * x8
+    return x16 * x8 * x
+
+
+def _rotate(vx, vy, vz, angle, ax, ay, az):
+    c = jnp.cos(angle)
+    s = jnp.sin(angle)
+    ic = 1.0 - c
+    ox = (c + ic * ax * ax) * vx + (ic * ax * ay - az * s) * vy + (ic * ax * az + ay * s) * vz
+    oy = (ic * ax * ay + az * s) * vx + (c + ic * ay * ay) * vy + (ic * ay * az - ax * s) * vz
+    oz = (ic * ax * az - ay * s) * vx + (ic * ay * az + ax * s) * vy + (c + ic * az * az) * vz
+    return ox, oy, oz
+
+
+def _refract(vx, vy, vz, nx, ny, nz, index: float):
+    """vector3::refract (vector3.h:205-214): TIR → zero, else normalized."""
+    ndv = -(vx * nx + vy * ny + vz * nz)
+    sin2 = (index * index) * (1.0 - ndv * ndv)
+    k = index * ndv - jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+    rx, ry, rz = vx * index + nx * k, vy * index + ny * k, vz * index + nz * k
+    rx, ry, rz = _norm3(rx, ry, rz)
+    tir = sin2 >= 1.0
+    zero = jnp.zeros_like(vx)
+    return (jnp.where(tir, zero, rx), jnp.where(tir, zero, ry),
+            jnp.where(tir, zero, rz))
+
+
+def build_path_kernel(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
+                      z_far_default: float):
+    """Build the megakernel body.  ``cfg`` supplies static loop bounds."""
+    depth_count = cfg.effective_depth
+    ray_offset = cfg.ray_offset
+    sky_e = mats.emissive[sky_idx] * 3.0  # SampleSky ×3 (scene.cpp:157-162)
+    material_rows = list(range(mats.count))
+
+    def kernel(h0_ref, sx_ref, sy_ref, sz_ref, dx_ref, dy_ref, dz_ref,
+               pix_ref, smp_ref,
+               lx_ref, ly_ref, lz_ref, anx_ref, any_ref, anz_ref,
+               ad_ref, am_ref, seg_ref):
+        sx, sy, sz = sx_ref[:], sy_ref[:], sz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        pix = pltpu.bitcast(pix_ref[:], U32)
+        smp = pltpu.bitcast(smp_ref[:], U32)
+        h0 = pltpu.bitcast(jnp.full(sx.shape, h0_ref[0], jnp.int32), U32)
+
+        zero = jnp.zeros_like(sx)
+        one = jnp.ones_like(sx)
+        Lx = Ly = Lz = zero
+        Tx = Ty = Tz = one
+        alive = jnp.ones(sx.shape, bool)
+        segcnt = jnp.zeros(sx.shape, jnp.int32)
+
+        f_active = jnp.zeros(sx.shape, bool)
+        f_fx = f_fy = f_fz = zero  # fog scatter origin
+        f_dx = f_dy = f_dz = zero  # fog diffuse color
+        f_dens = zero
+        f_u = zero
+
+        aov_nx = aov_ny = aov_nz = zero
+        aov_d = zero
+        aov_m = jnp.full(sx.shape, sky_idx, jnp.int32)
+        p_light = jnp.zeros(sx.shape, bool)
+
+        for depth in range(depth_count):
+            segcnt = segcnt + alive.astype(jnp.int32)
+
+            t, hnx, hny, hnz, hmat, hkind, huu, hvv = intersect_lanes(
+                scene, sx, sy, sz, dx, dy, dz, want_texcoords=False
+            )
+            hit = t < INVALID_PARAM
+            px, py, pz = sx + dx * t, sy + dy * t, sz + dz * t
+
+            # Backface flip (scene.cpp:238-247): start behind the hit plane.
+            side = hnx * (sx - px) + hny * (sy - py) + hnz * (sz - pz)
+            flip = side < 0.0
+            hnx = jnp.where(flip, -hnx, hnx)
+            hny = jnp.where(flip, -hny, hny)
+            hnz = jnp.where(flip, -hnz, hnz)
+
+            # Depth-0 fog resolution one bounce later (material.cpp:330-337).
+            if depth >= 1:
+                lpx = jnp.where(hit, px, sx + dx)
+                lpy = jnp.where(hit, py, sy + dy)
+                lpz = jnp.where(hit, pz, sz + dz)
+                ddx, ddy, ddz = lpx - f_fx, lpy - f_fy, lpz - f_fz
+                dist2 = ddx * ddx + ddy * ddy + ddz * ddz
+                thresh = jnp.clip(dist2 * f_dens * 0.00005, 0.0, 1.0)
+                absorbed = f_active & (f_u < thresh) & alive
+                Lx = Lx + jnp.where(absorbed, Tx * f_dx, 0.0)
+                Ly = Ly + jnp.where(absorbed, Ty * f_dy, 0.0)
+                Lz = Lz + jnp.where(absorbed, Tz * f_dz, 0.0)
+                alive = alive & ~absorbed
+                f_active = jnp.zeros_like(f_active)
+
+            # Miss → sky (engine.cpp:92-101); constant-color sky only here.
+            miss = alive & ~hit
+            Lx = Lx + jnp.where(miss, Tx * float(sky_e[0]), 0.0)
+            Ly = Ly + jnp.where(miss, Ty * float(sky_e[1]), 0.0)
+            Lz = Lz + jnp.where(miss, Tz * float(sky_e[2]), 0.0)
+
+            active = alive & hit
+
+            # View vector (engine.cpp:114) == normalized segment direction.
+            vx, vy, vz = _norm3(px - sx, py - sy, pz - sz)
+
+            # Per-bounce uniforms, same counter layout as ops/rng.py.
+            base = 16 + depth * cfg.bounce_slots
+            u0 = _stream_uniform(h0, pix, smp, base + 0)
+            u1 = _stream_uniform(h0, pix, smp, base + 1)
+            u2 = _stream_uniform(h0, pix, smp, base + 2)
+            u3 = _stream_uniform(h0, pix, smp, base + 3)
+
+            # Shared sampling vectors.
+            ndv = hnx * vx + hny * vy + hnz * vz
+            rx, ry, rz = vx - 2.0 * ndv * hnx, vy - 2.0 * ndv * hny, vz - 2.0 * ndv * hnz
+            gx, gy, gz = _sphere_dir(u1, u2)
+            gdot = gx * hnx + gy * hny + gz * hnz
+            gx = jnp.where(gdot < 0.0, -gx, gx)
+            gy = jnp.where(gdot < 0.0, -gy, gy)
+            gz = jnp.where(gdot < 0.0, -gz, gz)
+
+            def lerped(amount):
+                ox = gx * amount + rx * (1.0 - amount)
+                oy = gy * amount + ry * (1.0 - amount)
+                oz = gz * amount + rz * (1.0 - amount)
+                ox, oy, oz = _norm3(ox, oy, oz)
+                d = ox * hnx + oy * hny + oz * hnz
+                return (jnp.where(d < 0.0, -ox, ox), jnp.where(d < 0.0, -oy, oy),
+                        jnp.where(d < 0.0, -oz, oz))
+
+            # Accumulators merged per used material.
+            bx = by = bz = zero  # direction
+            cx = cy = cz = zero  # coef
+            ex = ey = ez = zero  # bias
+            will = jnp.zeros(sx.shape, bool)
+            is_light_m = jnp.zeros(sx.shape, bool)
+            is_fog_m = jnp.zeros(sx.shape, bool)
+            fog_dens_m = zero
+            fog_cx = fog_cy = fog_cz = zero
+
+            for mrow in material_rows:
+                msk = active & (hmat == mrow)
+                mtype = int(mats.mtype[mrow])
+                dif = mats.diffuse[mrow]
+                d0, d1, d2 = float(dif[0]), float(dif[1]), float(dif[2])
+
+                if mtype == M.LIGHT:
+                    em = mats.emissive[mrow]
+                    ex = jnp.where(msk, float(em[0]), ex)
+                    ey = jnp.where(msk, float(em[1]), ey)
+                    ez = jnp.where(msk, float(em[2]), ez)
+                    is_light_m = is_light_m | msk
+                    continue
+
+                if mtype == M.DIFFUSE:
+                    ox, oy, oz = gx, gy, gz  # lobe = full hemisphere
+                    ndl = ox * hnx + oy * hny + oz * hnz
+                    w = ndl > M.DIFFUSE_CONTRIB_THRESHOLD
+                    nl = jnp.maximum(ndl, 0.0)
+                    ccx, ccy, ccz = d0 * nl, d1 * nl, d2 * nl
+                elif mtype == M.METAL:
+                    rough = float(mats.param[mrow])
+                    ox, oy, oz = lerped(rough)
+                    ndl = ox * hnx + oy * hny + oz * hnz
+                    w = (rough <= M.DIFFUSE_ROUGHNESS_THRESHOLD) | (
+                        ndl > M.DIFFUSE_CONTRIB_THRESHOLD)
+                    nl = jnp.maximum(ndl, 0.0)
+                    f = rough * nl + (1.0 - rough)
+                    ccx, ccy, ccz = d0 * f, d1 * f, d2 * f
+                elif mtype == M.MIRROR:
+                    ox, oy, oz = rx, ry, rz
+                    w = jnp.ones_like(msk)
+                    ccx, ccy, ccz = d0 * one, d1 * one, d2 * one
+                elif mtype in (M.CERAMIC, M.GLOW):
+                    shin = float(mats.param[mrow])
+                    amount = jnp.where(u0 < M.CERAMIC_SPIKE_PROB, 0.0, 1.0 - shin)
+                    ox, oy, oz = lerped(amount)
+                    ndl = ox * hnx + oy * hny + oz * hnz
+                    nl = jnp.maximum(ndl, 0.0)
+                    hx, hy, hz = _norm3(ox - vx, oy - vy, oz - vz)
+                    hn = hx * hnx + hy * hny + hz * hnz
+                    spec = _pow25(hn * hn)
+                    ccx = spec + d0 * nl * (1.0 - spec)
+                    ccy = spec + d1 * nl * (1.0 - spec)
+                    ccz = spec + d2 * nl * (1.0 - spec)
+                    w = jnp.ones_like(msk)
+                    if mtype == M.GLOW:
+                        gl = mats.glow[mrow]
+                        ex = jnp.where(msk, float(gl[0]), ex)
+                        ey = jnp.where(msk, float(gl[1]), ey)
+                        ez = jnp.where(msk, float(gl[2]), ez)
+                elif mtype == M.GLASS:
+                    refl = float(mats.reflectivity[mrow])
+                    frost = float(mats.frost[mrow])
+                    index = float(mats.ior[mrow])
+                    lrx, lry, lrz = lerped(frost)
+                    # random_refraction (normal.cpp:64-105)
+                    if abs(index - 1.0) < vm.EPSILON:
+                        fx0, fy0, fz0 = _norm3(vx, vy, vz)
+                    else:
+                        fx0, fy0, fz0 = _refract(vx, vy, vz, hnx, hny, hnz, index)
+                    sa = vm.PI * frost
+                    if abs(sa - vm.PI) < vm.EPSILON:
+                        qx, qy, qz = gx, gy, gz
+                    elif abs(sa) < vm.EPSILON:
+                        qx, qy, qz = fx0, fy0, fz0
+                    else:
+                        delta = (u3 * 2.0 - 1.0) * (sa * 0.5)
+                        qx, qy, qz = _rotate(fx0, fy0, fz0, delta, gx, gy, gz)
+                    take_r = u0 < refl
+                    ox = jnp.where(take_r, lrx, qx)
+                    oy = jnp.where(take_r, lry, qy)
+                    oz = jnp.where(take_r, lrz, qz)
+                    w = jnp.ones_like(msk)
+                    ccx, ccy, ccz = d0 * one, d1 * one, d2 * one
+                elif mtype == M.LIQUID:
+                    refl = float(mats.reflectivity[mrow])
+                    index = float(mats.ior[mrow])
+                    qx, qy, qz = _refract(vx, vy, vz, hnx, hny, hnz, index)
+                    take_r = u0 < refl
+                    ox = jnp.where(take_r, rx, qx)
+                    oy = jnp.where(take_r, ry, qy)
+                    oz = jnp.where(take_r, rz, qz)
+                    w = jnp.ones_like(msk)
+                    ccx, ccy, ccz = d0 * one, d1 * one, d2 * one
+                elif mtype == M.FOG:
+                    ox, oy, oz = vx, vy, vz
+                    w = jnp.ones_like(msk)
+                    ccx, ccy, ccz = one, one, one
+                    is_fog_m = is_fog_m | msk
+                    fog_dens_m = jnp.where(msk, float(mats.frost[mrow]), fog_dens_m)
+                    fog_cx = jnp.where(msk, d0, fog_cx)
+                    fog_cy = jnp.where(msk, d1, fog_cy)
+                    fog_cz = jnp.where(msk, d2, fog_cz)
+                else:
+                    raise ValueError(f"unknown material type {mtype}")
+
+                bx = jnp.where(msk, ox, bx)
+                by = jnp.where(msk, oy, by)
+                bz = jnp.where(msk, oz, bz)
+                cx = jnp.where(msk, ccx, cx)
+                cy = jnp.where(msk, ccy, cy)
+                cz = jnp.where(msk, ccz, cz)
+                will = will | (msk & w)
+
+            if depth == 0:
+                aov_nx = jnp.where(hit, hnx, dx)
+                aov_ny = jnp.where(hit, hny, dy)
+                aov_nz = jnp.where(hit, hnz, dz)
+                nx0, ny0, nz0 = _norm3(aov_nx, aov_ny, aov_nz)
+                aov_nx = jnp.where(hit, aov_nx, nx0)
+                aov_ny = jnp.where(hit, aov_ny, ny0)
+                aov_nz = jnp.where(hit, aov_nz, nz0)
+                dpx, dpy, dpz = px - sx, py - sy, pz - sz
+                aov_d = jnp.where(
+                    hit, jnp.sqrt(dpx * dpx + dpy * dpy + dpz * dpz), z_far_default
+                )
+                aov_m = jnp.where(hit, hmat, sky_idx)
+                p_light = hit & is_light_m
+                mark = active & is_fog_m
+                f_active = mark
+                f_fx = jnp.where(mark, px, f_fx)
+                f_fy = jnp.where(mark, py, f_fy)
+                f_fz = jnp.where(mark, pz, f_fz)
+                f_dx = jnp.where(mark, fog_cx, f_dx)
+                f_dy = jnp.where(mark, fog_cy, f_dy)
+                f_dz = jnp.where(mark, fog_cz, f_dz)
+                f_dens = jnp.where(mark, fog_dens_m, f_dens)
+                f_u = jnp.where(mark, u3, f_u)
+
+            Lx = Lx + jnp.where(active, Tx * ex, 0.0)
+            Ly = Ly + jnp.where(active, Ty * ey, 0.0)
+            Lz = Lz + jnp.where(active, Tz * ez, 0.0)
+            Tx = jnp.where(active, Tx * cx, Tx)
+            Ty = jnp.where(active, Ty * cy, Ty)
+            Tz = jnp.where(active, Tz * cz, Tz)
+
+            sx = jnp.where(active, px + bx * ray_offset, sx)
+            sy = jnp.where(active, py + by * ray_offset, sy)
+            sz = jnp.where(active, pz + bz * ray_offset, sz)
+            scale = z_far_default - ray_offset
+            dx = jnp.where(active, bx * scale, dx)
+            dy = jnp.where(active, by * scale, dy)
+            dz = jnp.where(active, bz * scale, dz)
+
+            alive = active & will
+
+        if cfg.fast_render:
+            Lx = Lx + jnp.where(alive, Tx, 0.0)
+            Ly = Ly + jnp.where(alive, Ty, 0.0)
+            Lz = Lz + jnp.where(alive, Tz, 0.0)
+
+        # Depth-0 light tone clamp (engine.cpp:148-151).
+        n2 = Lx * Lx + Ly * Ly + Lz * Lz
+        norm = jnp.sqrt(jnp.maximum(n2, 1e-20))
+        clampm = p_light & (norm > cfg.light_clamp)
+        s = jnp.where(clampm, cfg.light_clamp / norm, 1.0)
+        Lx, Ly, Lz = Lx * s, Ly * s, Lz * s
+
+        lx_ref[:] = Lx
+        ly_ref[:] = Ly
+        lz_ref[:] = Lz
+        anx_ref[:] = aov_nx
+        any_ref[:] = aov_ny
+        anz_ref[:] = aov_nz
+        ad_ref[:] = aov_d
+        am_ref[:] = aov_m
+        seg_ref[:] = segcnt
+
+    return kernel
+
+
+def make_path_tracer(scene_pack, cfg, z_far: float = 10000.0,
+                     block_rows: int = DEFAULT_BLOCK_ROWS,
+                     interpret: bool | None = None):
+    """Compile the megakernel for a ScenePack.
+
+    Returns ``fn(start[N,3], seg[N,3], pixel_idx[N], sample_idx[N], seed) →
+    TraceOutput`` or None when the scene needs the general path (textures /
+    too many primitives).
+    """
+    from fspt_tpu.render.integrator import TraceOutput
+
+    mats = HostMaterials(scene_pack.materials)
+    if mats.any_textured:
+        return None
+    scene = HostScene(scene_pack.geometry)
+    if scene.prim_count > MAX_SPECIALIZED_PRIMS:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sky_idx = int(scene_pack.sky_mat)
+    kernel = build_path_kernel(scene, mats, cfg, sky_idx, float(z_far))
+
+    def trace(start, seg, pixel_idx, sample_idx, seed):
+        from fspt_tpu.ops import rng as rng_mod
+
+        n = start.shape[0]
+        rows = pl.cdiv(n, LANE)
+        pad_rows = pl.cdiv(rows, block_rows) * block_rows
+        n_pad = pad_rows * LANE
+
+        def fcomp(x, i):
+            return jnp.pad(x[:, i], (0, n_pad - n)).reshape(pad_rows, LANE)
+
+        def icomp(x):
+            return jnp.pad(x, (0, n_pad - n)).reshape(pad_rows, LANE)
+
+        seed_u = jnp.asarray(seed).astype(jnp.uint32)
+        h0 = rng_mod.pcg_hash(seed_u ^ jnp.uint32(0x9E3779B9))
+        h0 = jax.lax.bitcast_convert_type(h0, jnp.int32).reshape(1)
+
+        args = [h0,
+                fcomp(start, 0), fcomp(start, 1), fcomp(start, 2),
+                fcomp(seg, 0), fcomp(seg, 1), fcomp(seg, 2),
+                icomp(pixel_idx.astype(jnp.int32)),
+                icomp(sample_idx.astype(jnp.int32))]
+
+        grid = (pad_rows // block_rows,)
+        bspec = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        f32 = jnp.float32
+        out_shapes = [jax.ShapeDtypeStruct((pad_rows, LANE), f32) for _ in range(7)]
+        out_shapes += [jax.ShapeDtypeStruct((pad_rows, LANE), jnp.int32) for _ in range(2)]
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[sspec] + [bspec] * 8,
+            out_specs=[bspec] * 9,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*args)
+
+        lx, ly, lz, anx, any_, anz, ad = [o.reshape(-1)[:n] for o in outs[:7]]
+        am, segc = [o.reshape(-1)[:n] for o in outs[7:]]
+        return TraceOutput(
+            radiance=jnp.stack([lx, ly, lz], axis=-1),
+            aov_normal=jnp.stack([anx, any_, anz], axis=-1),
+            aov_depth=ad,
+            aov_mat=am,
+            segments=jnp.sum(segc),
+        )
+
+    return trace
+
+
+class HostCamera:
+    """NumPy snapshot of camera parameters for kernel baking.
+
+    Reproduces the per-thread camera setup of reference engine.cpp:184-197.
+    """
+
+    def __init__(self, camera, width: int, height: int):
+        o = np.asarray(camera.origin, np.float32)
+        tgt = np.asarray(camera.target, np.float32)
+        self.origin = o
+        self.z_far = float(np.asarray(camera.z_far))
+        self.aperture = float(np.asarray(camera.aperture_size))
+        self.focal_depth = float(np.asarray(camera.focal_depth))
+        fwd = tgt - o
+        fwd = fwd / np.linalg.norm(fwd)
+        right = np.cross(np.array([0.0, 1.0, 0.0], np.float32), fwd)
+        right = right / np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        up = up / np.linalg.norm(up)
+        self.forward, self.right, self.up = fwd, right, up
+        fovy = float(np.asarray(camera.fov_y)) * vm.PI / 180.0
+        aspect = width / height
+        fovx = 2.0 * np.arctan(np.tan(fovy * 0.5) * aspect)
+        self.half_h = float(np.tan(fovy * 0.5) * self.z_far)
+        self.half_w = float(np.tan(fovx * 0.5) * self.z_far)
+        self.proj_origin = o + fwd * self.z_far
+        # Focal plane (engine.cpp:195-197): normal -forward through
+        # origin + forward*focal_depth.
+        n = -fwd
+        p = o + fwd * self.focal_depth
+        self.focal_plane = np.concatenate([n, [-float(np.dot(n, p))]])
+
+
+def make_camera_path_tracer(scene_pack, camera, cfg,
+                            block_rows: int = DEFAULT_BLOCK_ROWS,
+                            interpret: bool | None = None):
+    """Megakernel including in-kernel camera ray generation.
+
+    The kernel's only tensor traffic is its outputs: pixel/sample ids, AA
+    jitter, thin-lens DoF (engine.cpp:205-244) and the full path trace all
+    happen in VMEM.  Returns ``fn(seed, sample0, lane0=0, n_lanes=None) →
+    TraceOutput`` or None if the scene can't be specialized.
+    """
+    from fspt_tpu.render.integrator import TraceOutput
+
+    mats = HostMaterials(scene_pack.materials)
+    if mats.any_textured:
+        return None
+    scene = HostScene(scene_pack.geometry)
+    if scene.prim_count > MAX_SPECIALIZED_PRIMS:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sky_idx = int(scene_pack.sky_mat)
+    cam = HostCamera(camera, cfg.width, cfg.height)
+    path_kernel = build_path_kernel(scene, mats, cfg, sky_idx, cam.z_far)
+
+    width, spp = cfg.width, cfg.spp
+    inv_wm1 = 1.0 / (cfg.width - 1)
+    inv_hm1 = 1.0 / (cfg.height - 1)
+
+    def kernel(h0_ref, s0_ref, lane0_ref,
+               lx_ref, ly_ref, lz_ref, anx_ref, any_ref, anz_ref,
+               ad_ref, am_ref, seg_ref):
+        shape = lx_ref.shape
+        pid = pl.program_id(0)
+        rows_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        flat = lane0_ref[0] + (pid * shape[0] + rows_ids) * LANE + col_ids
+
+        s = jnp.remainder(flat, spp)
+        pxy = flat // spp
+        x = jnp.remainder(pxy, width)
+        y = pxy // width
+        pix_i = y * width + x
+        smp_i = s + s0_ref[0]
+        pix = pltpu.bitcast(pix_i, U32)
+        smp = pltpu.bitcast(smp_i, U32)
+        h0 = pltpu.bitcast(jnp.full(shape, h0_ref[0], jnp.int32), U32)
+
+        u0 = _stream_uniform(h0, pix, smp, 0)
+        u1 = _stream_uniform(h0, pix, smp, 1)
+        xf = x.astype(jnp.float32) + (u0 - 0.5)
+        yf = y.astype(jnp.float32) + (u1 - 0.5)
+        x_dist = cam.half_w * ((xf * inv_wm1) * 2.0 - 1.0)
+        y_dist = cam.half_h * ((yf * inv_hm1) * 2.0 - 1.0)
+
+        stopx = (float(cam.proj_origin[0]) + float(cam.right[0]) * x_dist
+                 + float(cam.up[0]) * y_dist)
+        stopy = (float(cam.proj_origin[1]) + float(cam.right[1]) * x_dist
+                 + float(cam.up[1]) * y_dist)
+        stopz = (float(cam.proj_origin[2]) + float(cam.right[2]) * x_dist
+                 + float(cam.up[2]) * y_dist)
+        sx = jnp.full(shape, float(cam.origin[0]), jnp.float32)
+        sy = jnp.full(shape, float(cam.origin[1]), jnp.float32)
+        sz = jnp.full(shape, float(cam.origin[2]), jnp.float32)
+        dx, dy, dz = stopx - sx, stopy - sy, stopz - sz
+
+        if cam.aperture > 0.0:
+            # Thin-lens DoF (engine.cpp:221-244).
+            u2 = _stream_uniform(h0, pix, smp, 2)
+            u3 = _stream_uniform(h0, pix, smp, 3)
+            fp = cam.focal_plane
+            ts = float(fp[0]) * dx + float(fp[1]) * dy + float(fp[2]) * dz
+            ns = -(float(fp[0]) * sx + float(fp[1]) * sy + float(fp[2]) * sz
+                   + float(fp[3]))
+            not_par = jnp.abs(ts) >= vm.EPSILON
+            tf = ns / jnp.where(not_par, ts, 1.0)
+            valid = not_par & (tf >= 0.0) & (tf <= 1.0)
+            fx, fy, fz = sx + dx * tf, sy + dy * tf, sz + dz * tf
+            angle = u2 * (2.0 * vm.PI)
+            mag = jnp.sqrt(u3) * cam.aperture
+            offc = jnp.cos(angle) * mag
+            offs = jnp.sin(angle) * mag
+            ox = float(cam.right[0]) * offc + float(cam.up[0]) * offs
+            oy = float(cam.right[1]) * offc + float(cam.up[1]) * offs
+            oz = float(cam.right[2]) * offc + float(cam.up[2]) * offs
+            nsx, nsy, nsz = sx + ox, sy + oy, sz + oz
+            ndx, ndy, ndz = _norm3(fx - nsx, fy - nsy, fz - nsz)
+            zf = cam.z_far
+            sx = jnp.where(valid, nsx, sx)
+            sy = jnp.where(valid, nsy, sy)
+            sz = jnp.where(valid, nsz, sz)
+            dx = jnp.where(valid, ndx * zf, dx)
+            dy = jnp.where(valid, ndy * zf, dy)
+            dz = jnp.where(valid, ndz * zf, dz)
+
+        class _Ref:
+            def __init__(self, v):
+                self.v = v
+            def __getitem__(self, k):
+                return self.v if k == slice(None) else self.v[k]
+
+        # Reuse the path kernel body by faking its input refs.
+        path_kernel(
+            h0_ref, _Ref(sx), _Ref(sy), _Ref(sz), _Ref(dx), _Ref(dy), _Ref(dz),
+            _Ref(pix_i), _Ref(smp_i),
+            lx_ref, ly_ref, lz_ref, anx_ref, any_ref, anz_ref,
+            ad_ref, am_ref, seg_ref,
+        )
+
+    def trace(seed, sample0, lane0=0, n_lanes=None):
+        from fspt_tpu.ops import rng as rng_mod
+
+        n = n_lanes if n_lanes is not None else cfg.height * cfg.width * cfg.spp
+        rows = pl.cdiv(n, LANE)
+        pad_rows = pl.cdiv(rows, block_rows) * block_rows
+
+        seed_u = jnp.asarray(seed).astype(jnp.uint32)
+        h0 = rng_mod.pcg_hash(seed_u ^ jnp.uint32(0x9E3779B9))
+        h0 = jax.lax.bitcast_convert_type(h0, jnp.int32).reshape(1)
+        s0 = jnp.asarray(sample0, jnp.int32).reshape(1)
+        l0 = jnp.asarray(lane0, jnp.int32).reshape(1)
+
+        grid = (pad_rows // block_rows,)
+        bspec = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        f32 = jnp.float32
+        out_shapes = [jax.ShapeDtypeStruct((pad_rows, LANE), f32) for _ in range(7)]
+        out_shapes += [jax.ShapeDtypeStruct((pad_rows, LANE), jnp.int32) for _ in range(2)]
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[sspec, sspec, sspec],
+            out_specs=[bspec] * 9,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(h0, s0, l0)
+
+        lx, ly, lz, anx, any_, anz, ad = [o.reshape(-1)[:n] for o in outs[:7]]
+        am, segc = [o.reshape(-1)[:n] for o in outs[7:]]
+        return TraceOutput(
+            radiance=jnp.stack([lx, ly, lz], axis=-1),
+            aov_normal=jnp.stack([anx, any_, anz], axis=-1),
+            aov_depth=ad,
+            aov_mat=am,
+            segments=jnp.sum(segc),
+        )
+
+    return trace

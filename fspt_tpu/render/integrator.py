@@ -47,8 +47,14 @@ class TraceOutput(NamedTuple):
 
 
 def trace_radiance(scene: ScenePack, cfg: RenderConfig, start, seg,
-                   pixel_idx, sample_idx, seed, z_far) -> TraceOutput:
-    """Trace a ray wavefront to completion and return per-lane radiance."""
+                   pixel_idx, sample_idx, seed, z_far,
+                   intersector=None) -> TraceOutput:
+    """Trace a ray wavefront to completion and return per-lane radiance.
+
+    ``intersector`` (static) overrides the default XLA brute-force
+    ``intersect_scene`` — e.g. the scene-specialized Pallas megakernel
+    (ops/pallas_trace.py) or the BVH traversal kernel.
+    """
     geom = scene.geometry
     table = scene.materials
     tex = scene.textures
@@ -73,7 +79,10 @@ def trace_radiance(scene: ScenePack, cfg: RenderConfig, start, seg,
     for depth in range(cfg.effective_depth):
         segments = segments + jnp.sum(alive.astype(jnp.int32))
 
-        hit = intersect_scene(geom, start, seg)
+        if intersector is None:
+            hit = intersect_scene(geom, start, seg)
+        else:
+            hit = intersector(start, seg)
 
         # Backface flip → is_internal (scene.cpp:238-247): the start point
         # lies behind the plane through (normal, hit point).
@@ -155,17 +164,19 @@ def trace_radiance(scene: ScenePack, cfg: RenderConfig, start, seg,
 
 
 def render_wavefront(scene: ScenePack, camera: Camera, cfg: RenderConfig,
-                     seed, sample0, y0=0, rows=None) -> TraceOutput:
+                     seed, sample0, y0=0, rows=None,
+                     intersector=None) -> TraceOutput:
     """Generate the rows×W×spp primary wavefront and trace it."""
     start, seg, pixel_idx, sample_idx = generate_rays(
         camera, cfg.width, cfg.height, cfg.spp, seed, sample0, y0=y0, rows=rows
     )
     return trace_radiance(scene, cfg, start, seg, pixel_idx, sample_idx,
-                          seed, camera.z_far)
+                          seed, camera.z_far, intersector=intersector)
 
 
 def render_step(scene: ScenePack, camera: Camera, cfg: RenderConfig,
-                fb: fb_mod.Framebuffer, seed, frame_idx, y0=0):
+                fb: fb_mod.Framebuffer, seed, frame_idx, y0=0,
+                intersector=None):
     """One progressive render step: trace spp samples/pixel and accumulate.
 
     The TPU analog of one ``TraceScene`` frame (engine.cpp:253-296); returns
@@ -174,7 +185,8 @@ def render_step(scene: ScenePack, camera: Camera, cfg: RenderConfig,
     """
     rows = fb.mean.shape[0]
     sample0 = frame_idx * cfg.spp
-    out = render_wavefront(scene, camera, cfg, seed, sample0, y0=y0, rows=rows)
+    out = render_wavefront(scene, camera, cfg, seed, sample0, y0=y0, rows=rows,
+                           intersector=intersector)
     fb = fb_mod.accumulate(
         fb, out.radiance, out.aov_normal, out.aov_depth, out.aov_mat,
         rows, cfg.width, cfg.spp,
