@@ -89,8 +89,84 @@ def bench_forward(width=1024, height=1024, spp=4, max_depth=8, outer_iters=8,
     return best
 
 
+def build_mesh_scene(grid=224):
+    """~100k-triangle heightfield in a lit box (BASELINE config 3)."""
+    import numpy as np
+
+    from fspt_tpu import Camera, SceneBuilder
+    from fspt_tpu import materials as M
+    from fspt_tpu.materials import MaterialSpec
+
+    b = SceneBuilder()
+    white = b.add_material(MaterialSpec(M.DIFFUSE, diffuse=(0.7, 0.7, 0.7)))
+    terra = b.add_material(MaterialSpec(M.DIFFUSE, diffuse=(0.55, 0.45, 0.35)))
+    light = b.add_material(MaterialSpec(M.LIGHT, emissive=(12.0, 12.0, 12.0)))
+    sky = b.add_material(MaterialSpec(M.LIGHT, emissive=(0.3, 0.4, 0.6)))
+    b.set_sky(sky)
+
+    s = 60.0
+    b.add_quad_uv((-s, -30.0, -s), (2 * s, 0, 0), (0, 0, 2 * s), white)  # floor
+    b.add_quad_uv((-20, 55.0, -20), (40, 0, 0), (0, 0, 40), light)  # light
+
+    xs = np.linspace(-45, 45, grid, dtype=np.float32)
+    zs = np.linspace(-45, 45, grid, dtype=np.float32)
+    X, Z = np.meshgrid(xs, zs, indexing="ij")
+    Y = (6.0 * np.sin(X * 0.18) * np.cos(Z * 0.15)
+         + 3.0 * np.sin(X * 0.51 + 1.0) * np.sin(Z * 0.43) - 20.0)
+    P = np.stack([X, Y, Z], axis=-1)
+    a = P[:-1, :-1].reshape(-1, 3)
+    bq = P[1:, :-1].reshape(-1, 3)
+    c = P[1:, 1:].reshape(-1, 3)
+    d = P[:-1, 1:].reshape(-1, 3)
+    v0 = np.concatenate([a, a])
+    v1 = np.concatenate([bq, c])
+    v2 = np.concatenate([c, d])
+    b.add_triangles(v0, v1, v2, terra)
+    log(f"mesh scene: {len(v0)} triangles")
+
+    b.add_camera(Camera.create(origin=(0.0, 25.0, -110.0), target=(0.0, -15.0, 0.0),
+                               aperture_size=1.5, focal_depth=95.0))
+    return b
+
+
+def bench_mesh(width=128, height=128, spp=1, max_depth=2, outer_iters=2):
+    """100k-tri BVH-path benchmark (small config; see PERF_NOTES.md for the
+    round-2 coherence roadmap — incoherent bounces dominate this path)."""
+    from fspt_tpu.config import RenderConfig
+    from fspt_tpu.ops.pallas_bvh import make_mesh_intersector
+    from fspt_tpu.render import integrator
+
+    builder = build_mesh_scene()
+    scene = builder.compile()
+    camera = builder.cameras[0]
+    cfg = RenderConfig(width=width, height=height, spp=spp, max_depth=max_depth)
+    inter = make_mesh_intersector(scene)
+    log(f"mesh path: pallas MXU-treelet BVH ({scene.bvh.n_nodes} fine nodes)")
+
+    fn = jax.jit(lambda seed, f0: integrator.render_wavefront(
+        scene, camera, cfg, seed, f0 * cfg.spp, intersector=inter))
+    t0 = time.time()
+    out = fn(7, 0)
+    jax.block_until_ready(out)
+    log(f"mesh compile+first: {time.time()-t0:.1f}s; segments={int(out.segments)}")
+    best = 0.0
+    for it in range(outer_iters):
+        t0 = time.time()
+        out = fn(7, it + 1)
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        best = max(best, int(out.segments) / dt)
+        log(f"mesh iter {it}: {dt*1000:.0f} ms, {int(out.segments)/dt/1e6:.1f} Mrays/s")
+    return best
+
+
 def main():
     log(f"devices: {jax.devices()}")
+    try:
+        mesh_rate = bench_mesh()
+        log(f"mesh_100k_rays_per_sec: {mesh_rate:.3e}")
+    except Exception as e:  # mesh bench is informational; don't kill headline
+        log(f"mesh bench failed: {type(e).__name__}: {e}")
     rate = bench_forward()
     print(json.dumps({
         "metric": "fwd_rays_per_sec_per_chip_cornell",

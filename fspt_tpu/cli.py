@@ -81,8 +81,15 @@ def main(argv=None):
                                    cfg.height, cfg.width, cfg.spp)
             return fb, out.segments
     else:
-        intersector = make_pallas_intersector(scene.geometry)
-        name = "pallas intersect + XLA shade" if intersector else "XLA brute force"
+        intersector = None
+        if scene.bvh is None:
+            intersector = make_pallas_intersector(scene.geometry)
+        if intersector is not None:
+            name = "pallas intersect + XLA shade"
+        elif scene.bvh is not None:
+            name = "XLA + flattened-BVH traversal"
+        else:
+            name = "XLA brute force"
         print(f"render path: {name}")
 
         def step(fb, frame_idx):

@@ -428,6 +428,8 @@ def make_path_tracer(scene_pack, cfg, z_far: float = 10000.0,
     """
     from fspt_tpu.render.integrator import TraceOutput
 
+    if scene_pack.bvh is not None:
+        return None  # BVH triangle scenes use ops/pallas_bvh.py / XLA path
     mats = HostMaterials(scene_pack.materials)
     if mats.any_textured:
         return None
@@ -538,6 +540,8 @@ def make_camera_path_tracer(scene_pack, camera, cfg,
     """
     from fspt_tpu.render.integrator import TraceOutput
 
+    if scene_pack.bvh is not None:
+        return None  # BVH triangle scenes use ops/pallas_bvh.py / XLA path
     mats = HostMaterials(scene_pack.materials)
     if mats.any_textured:
         return None

@@ -32,10 +32,42 @@ from fspt_tpu import materials as mat_mod
 from fspt_tpu.camera import Camera, generate_rays
 from fspt_tpu.config import RenderConfig
 from fspt_tpu.ops import rng
-from fspt_tpu.ops.intersect import intersect_scene
+from fspt_tpu.ops.intersect import Hit, intersect_scene
 from fspt_tpu.render import framebuffer as fb_mod
 from fspt_tpu.scene.builder import ScenePack
 from fspt_tpu.utils import vecmath as vm
+
+
+def _intersect_with_bvh(scene: "ScenePack", start, seg) -> Hit:
+    """Closest hit: analytic primitives (brute force) ∪ BVH triangles.
+
+    The two-level analog of Scene::Trace → MeshBvh::Trace (scene.cpp:227-248,
+    mesh.cpp:154-160): analytic SoAs are tested directly, triangle-heavy
+    geometry goes through the flattened BVH, and the closer hit wins.
+    """
+    from fspt_tpu.ops.bvh import traverse_bvh
+
+    base = intersect_scene(scene.geometry, start, seg)
+    t_tri, tri_id, u, v = traverse_bvh(scene.bvh, start, seg)
+    tri_hit = tri_id >= 0
+    tid = jnp.maximum(tri_id, 0)
+    ts = scene.tri_shade
+    n0, n1, n2 = ts.n0[tid], ts.n1[tid], ts.n2[tid]
+    normal = n0 + (n1 - n0) * u[:, None] + (n2 - n0) * v[:, None]
+    t0, t1, t2 = ts.t0[tid], ts.t1[tid], ts.t2[tid]
+    texcoords = t0 + (t1 - t0) * u[:, None] + (t2 - t0) * v[:, None]
+
+    tri_wins = tri_hit & (t_tri < base.t)
+    t = jnp.where(tri_wins, t_tri, base.t)
+    return Hit(
+        t=t,
+        point=start + seg * t[:, None],
+        normal=jnp.where(tri_wins[:, None], normal, base.normal),
+        texcoords=jnp.where(tri_wins[:, None], texcoords, base.texcoords),
+        mat=jnp.where(tri_wins, ts.mat[tid], base.mat),
+        prim_kind=jnp.where(tri_wins, 5, base.prim_kind),
+        hit=base.hit | tri_hit,
+    )
 
 
 class TraceOutput(NamedTuple):
@@ -79,10 +111,12 @@ def trace_radiance(scene: ScenePack, cfg: RenderConfig, start, seg,
     for depth in range(cfg.effective_depth):
         segments = segments + jnp.sum(alive.astype(jnp.int32))
 
-        if intersector is None:
-            hit = intersect_scene(geom, start, seg)
-        else:
+        if intersector is not None:
             hit = intersector(start, seg)
+        elif scene.bvh is not None:
+            hit = _intersect_with_bvh(scene, start, seg)
+        else:
+            hit = intersect_scene(geom, start, seg)
 
         # Backface flip → is_internal (scene.cpp:238-247): the start point
         # lies behind the plane through (normal, hit point).

@@ -20,13 +20,34 @@ from fspt_tpu.materials import MaterialSpec, MaterialTable, TexturePack
 from fspt_tpu.scene import geometry as geom
 
 
+class TriShade(NamedTuple):
+    """Per-triangle shading attributes, indexed by original triangle id
+    (the BVH returns original ids so these gathers stay stable)."""
+
+    n0: jnp.ndarray  # [T,3]
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    t0: jnp.ndarray  # [T,2]
+    t1: jnp.ndarray
+    t2: jnp.ndarray
+    mat: jnp.ndarray  # [T] int32
+
+
 class ScenePack(NamedTuple):
-    """Everything the device needs to render: the compiled scene."""
+    """Everything the device needs to render: the compiled scene.
+
+    ``bvh``/``tri_shade`` are populated for triangle-heavy scenes: the
+    triangles then live in the flattened BVH (ops/bvh.py) instead of the
+    brute-force SoA, and the *structure* of the pytree statically selects
+    the traversal path under jit.
+    """
 
     geometry: geom.GeometryPack
     materials: MaterialTable
     textures: TexturePack
     sky_mat: jnp.ndarray  # int32 scalar row index of the sky material
+    bvh: object = None  # Optional[ops.bvh.FlatBVH]
+    tri_shade: object = None  # Optional[TriShade]
 
 
 class SceneBuilder:
@@ -160,7 +181,8 @@ class SceneBuilder:
                 merged[k] = np.concatenate(parts, axis=0)
         return merged
 
-    def compile(self) -> ScenePack:
+    def compile(self, bvh_threshold: int = 64) -> ScenePack:
+        """Pack the scene; triangle sets >= ``bvh_threshold`` get a BVH."""
         materials = list(self._materials)
         if self._sky_mat is None:
             # Implicit black sky light (scene.cpp:142-144).
@@ -169,13 +191,42 @@ class SceneBuilder:
         else:
             sky_idx = self._sky_mat
         table = mat_mod.pack_materials(materials)
+
+        tris = self._merge_triangles()
+        bvh = tri_shade = None
+        if tris is not None and len(tris["v0"]) >= bvh_threshold:
+            from fspt_tpu.ops.bvh import build_bvh
+
+            v0 = np.asarray(tris["v0"], np.float32)
+            v1 = np.asarray(tris["v1"], np.float32)
+            v2 = np.asarray(tris["v2"], np.float32)
+            bvh = build_bvh(v0, v1, v2)
+            e1, e2 = v1 - v0, v2 - v0
+            cr = np.cross(e1, e2)
+            ln = np.linalg.norm(cr, axis=-1, keepdims=True)
+            ng = (cr / np.where(ln > 0, ln, 1.0)).astype(np.float32)
+            n = len(v0)
+            j = jnp.asarray
+            tri_shade = TriShade(
+                n0=j(tris.get("n0", ng), jnp.float32),
+                n1=j(tris.get("n1", ng), jnp.float32),
+                n2=j(tris.get("n2", ng), jnp.float32),
+                t0=j(tris.get("t0", np.zeros((n, 2))), jnp.float32),
+                t1=j(tris.get("t1", np.zeros((n, 2))), jnp.float32),
+                t2=j(tris.get("t2", np.zeros((n, 2))), jnp.float32),
+                mat=j(tris["mat"], jnp.int32),
+            )
+            tris = None  # keep the brute-force SoA empty
+
         pack = geom.pack_geometry(
             self._spheres, self._planes, self._discs, self._quads,
-            self._cuboids, self._merge_triangles(),
+            self._cuboids, tris,
         )
         return ScenePack(
             geometry=pack,
             materials=table,
             textures=self._pack_textures(),
             sky_mat=jnp.asarray(sky_idx, jnp.int32),
+            bvh=bvh,
+            tri_shade=tri_shade,
         )

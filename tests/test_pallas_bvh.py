@@ -1,0 +1,80 @@
+"""Pallas BVH kernels (packet + MXU treelet) vs. the XLA traversal."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from fspt_tpu.config import RenderConfig
+from fspt_tpu.ops.bvh import MAX_LEAF_TRIS, build_bvh, traverse_bvh
+from fspt_tpu.ops.pallas_bvh import (
+    TREELET,
+    make_bvh_traverser,
+    make_mesh_intersector,
+    make_treelet_traverser,
+)
+from fspt_tpu.render import integrator
+
+from conftest import assert_images_close, build_cornell_box
+
+
+def _tris(n, seed=0):
+    rs = np.random.RandomState(seed)
+    v0 = rs.uniform(-40, 40, (n, 3)).astype(np.float32)
+    v1 = v0 + rs.uniform(-8, 8, (n, 3)).astype(np.float32)
+    v2 = v0 + rs.uniform(-8, 8, (n, 3)).astype(np.float32)
+    return v0, v1, v2
+
+
+def _rays(n, seed=1):
+    rs = np.random.RandomState(seed)
+    start = rs.uniform(-60, 60, (n, 3)).astype(np.float32)
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(start), jnp.asarray(d * 200.0)
+
+
+def test_packet_traverser_matches_xla():
+    v0, v1, v2 = _tris(800, seed=2)
+    bvh = build_bvh(v0, v1, v2)
+    start, seg = _rays(700, seed=3)
+    t_ref, id_ref, _, _ = traverse_bvh(bvh, start, seg)
+    trav = make_bvh_traverser(bvh, MAX_LEAF_TRIS)
+    t_pal, id_pal, _, _ = trav(start, seg)
+    np.testing.assert_allclose(np.asarray(t_ref), np.asarray(t_pal),
+                               rtol=1e-5, atol=1e-7)
+    h = np.asarray(t_ref) < 2.0
+    assert (np.asarray(id_ref)[h] == np.asarray(id_pal)[h]).all()
+
+
+def test_mxu_treelet_traverser_matches_xla():
+    v0, v1, v2 = _tris(3000, seed=4)
+    bvh_fine = build_bvh(v0, v1, v2)
+    bvh_coarse = build_bvh(v0, v1, v2, max_leaf=TREELET)
+    start, seg = _rays(1500, seed=5)
+    t_ref, id_ref, u_ref, _ = traverse_bvh(bvh_fine, start, seg)
+    trav = make_treelet_traverser(bvh_coarse)
+    t_pal, id_pal, u_pal, _ = trav(start, seg)
+    np.testing.assert_allclose(np.asarray(t_ref), np.asarray(t_pal),
+                               rtol=1e-4, atol=1e-6)
+    h = np.asarray(t_ref) < 2.0
+    assert (np.asarray(id_ref)[h] == np.asarray(id_pal)[h]).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(u_ref)[h], np.asarray(u_pal)[h],
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_mesh_intersector_full_render():
+    """Mesh scene rendered via the Pallas mesh intersector == XLA BVH path."""
+    builder = build_cornell_box()
+    v0, v1, v2 = _tris(300, seed=6)
+    off = np.array([0, -25, 0], np.float32)
+    builder.add_triangles(v0 * 0.25 + off, v1 * 0.25 + off, v2 * 0.25 + off, mat=0)
+    scene = builder.compile(bvh_threshold=64)
+    cam = builder.cameras[0]
+    cfg = RenderConfig(width=16, height=12, spp=1, max_depth=3)
+
+    out_ref = integrator.render_wavefront(scene, cam, cfg, 7, 0)  # XLA BVH
+    inter = make_mesh_intersector(scene)
+    assert inter is not None
+    out_pal = integrator.render_wavefront(scene, cam, cfg, 7, 0, intersector=inter)
+    assert_images_close(out_ref.radiance, out_pal.radiance, rtol=1e-4,
+                        atol=1e-6, frac=0.999)
+    assert int(out_ref.segments) == int(out_pal.segments)
