@@ -167,6 +167,13 @@ def main():
         log(f"mesh_100k_rays_per_sec: {mesh_rate:.3e}")
     except Exception as e:  # mesh bench is informational; don't kill headline
         log(f"mesh bench failed: {type(e).__name__}: {e}")
+    try:
+        # BASELINE config 2: specular/glossy mix, 4 bounces, 16spp at 512².
+        spec_rate = bench_forward(width=512, height=512, spp=16, max_depth=4,
+                                  outer_iters=3)
+        log(f"specular_16spp_512_rays_per_sec: {spec_rate:.3e}")
+    except Exception as e:
+        log(f"specular bench failed: {type(e).__name__}: {e}")
     rate = bench_forward()
     print(json.dumps({
         "metric": "fwd_rays_per_sec_per_chip_cornell",

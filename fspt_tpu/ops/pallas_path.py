@@ -171,6 +171,10 @@ def build_path_kernel(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
         for depth in range(depth_count):
             segcnt = segcnt + alive.astype(jnp.int32)
 
+            # Note: a whole-block early-exit (lax.cond around the intersect
+            # once every lane is dead) was measured 15% SLOWER than straight-
+            # line code at 4spp Cornell — the branch is an optimization
+            # barrier and blocks rarely go fully dead.  Keep it branchless.
             t, hnx, hny, hnz, hmat, hkind, huu, hvv = intersect_lanes(
                 scene, sx, sy, sz, dx, dy, dz, want_texcoords=False
             )

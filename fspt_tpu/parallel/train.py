@@ -32,26 +32,66 @@ def render_image_rows(scene, camera, cfg: RenderConfig, seed, frame_idx, y0, row
     return out.radiance.reshape(rows, cfg.width, cfg.spp, 3).mean(axis=2)
 
 
+# Physical box constraints per material-table column; projecting onto them
+# after each step breaks the albedo↔emission gauge freedom (radiance only
+# constrains their products, so unconstrained recovery can trade a dim light
+# against >1 albedos).
+DEFAULT_CONSTRAINTS = {
+    "diffuse": (0.0, 1.0),
+    "emissive": (0.0, None),
+    "glow": (0.0, None),
+}
+
+
 def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissive"),
-                       lr: float = 0.5):
-    """Build a jitted sharded SGD step on the named material-table columns.
+                       lr: float = 0.5, optimizer=None, constraints=None):
+    """Build a jitted sharded optimizer step on the named material-table columns.
 
     Returns ``step(params, scene, camera, target, seed, frame_idx) ->
     (params, loss)`` where ``target`` is the full [H,W,3] target image
     (band-sharded or replicated — shard_map slices it) and ``params`` is a
     dict of material-table columns, replicated across devices.
+
+    ``optimizer``: an optax GradientTransformation; defaults to plain SGD at
+    ``lr``.  With an optimizer, call :func:`make_recovery_step_with_state`
+    semantics via the returned step's ``init(params)`` attribute.
     """
     n = mesh.devices.size
     if cfg.height % n != 0:
         raise ValueError(f"height {cfg.height} not divisible by {n} devices")
     rows_local = cfg.height // n
 
-    def local_loss(params, scene, camera, target_local, seed, frame_idx, y0):
-        scene = _apply_params(scene, params)
-        img = render_image_rows(scene, camera, cfg, seed, frame_idx, y0, rows_local)
-        return jnp.mean((img - target_local) ** 2)
+    def _pool(x, p):
+        h, w = x.shape[0], x.shape[1]
+        py, px = max(1, min(p, h)), max(1, min(p, w))  # thin sharded bands
+        ph, pw = h - h % py, w - w % px
+        return x[:ph, :pw].reshape(ph // py, py, pw // px, px, 3).mean(axis=(1, 3))
 
-    def local_step(params, scene, camera, target_local, seed, frame_idx):
+    def local_loss(params, scene, camera, target_local, seed, frame_idx, y0,
+                   pool: int = 8):
+        # Two noise-robustness devices, both standard in inverse rendering:
+        # 1. Dual-buffer product: naive MSE against a Monte-Carlo render is
+        #    biased — E[(X−t)²] = Var(X) + (E[X]−t)² and Var grows with the
+        #    parameters, so the optimum lands darker than truth.  Two
+        #    independent sample sets A, B give E[(A−t)(B−t)] = (E[X]−t)²;
+        #    the variance term cancels and the gradient is unbiased.
+        # 2. Spatial pooling before the product: the *target's* residual
+        #    noise adds a linear-in-params term with random slope
+        #    −2Σ c_p δ_p that shifts the optimum; averaging p×p patches
+        #    shrinks every noise projection by p² while global material
+        #    parameters lose no constraints.
+        scene = _apply_params(scene, params)
+        img_a = render_image_rows(scene, camera, cfg, seed, frame_idx, y0,
+                                  rows_local)
+        img_b = render_image_rows(scene, camera, cfg, seed, frame_idx + 10007,
+                                  y0, rows_local)
+        da = _pool(img_a - target_local, pool)
+        db = _pool(img_b - target_local, pool)
+        return jnp.mean(da * db)
+
+    use_optax = optimizer is not None
+
+    def local_step(params, opt_state, scene, camera, target_local, seed, frame_idx):
         band = jax.lax.axis_index(RAY_AXIS)
         y0 = band * rows_local
         loss, grads = jax.value_and_grad(local_loss)(
@@ -59,14 +99,34 @@ def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissiv
         )
         loss = jax.lax.pmean(loss, RAY_AXIS)
         grads = jax.lax.pmean(grads, RAY_AXIS)
-        params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
-        return params, loss
+        if use_optax:
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+        else:
+            params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        box = DEFAULT_CONSTRAINTS if constraints is None else constraints
+        params = {
+            k: jnp.clip(v, *box[k]) if k in box else v for k, v in params.items()
+        }
+        return params, opt_state, loss
 
-    fn = jax.shard_map(
+    fn = jax.jit(jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(RAY_AXIS), P(), P()),
-        out_specs=(P(), P()),
+        in_specs=(P(), P(), P(), P(), P(RAY_AXIS), P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
-    )
-    return jax.jit(fn)
+    ))
+
+    if use_optax:
+        def step(params, opt_state, scene, camera, target, seed, frame_idx):
+            return fn(params, opt_state, scene, camera, target, seed, frame_idx)
+
+        step.init = optimizer.init
+        return step
+
+    def step(params, scene, camera, target, seed, frame_idx):
+        params, _, loss = fn(params, 0, scene, camera, target, seed, frame_idx)
+        return params, loss
+
+    return step

@@ -97,3 +97,55 @@ def test_camera_gradient_finite():
     g = jax.jit(jax.grad(loss_fn))(camera.origin)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+def test_vertex_gradients_interior_match_fd():
+    """Geometry gradients w.r.t. triangle vertices through the MT intersector.
+
+    Interior gradients (hit point stays on the same triangle) are exact
+    under AD; silhouette terms need edge reparameterization (round-2,
+    PERF_NOTES.md).  Probing a vertex of a large triangle fully covering
+    several pixels keeps the FD step interior.
+    """
+    from fspt_tpu import materials as M
+    from fspt_tpu.camera import Camera
+    from fspt_tpu.materials import MaterialSpec
+    from fspt_tpu.scene.builder import SceneBuilder
+
+    def build(v_offset):
+        b = SceneBuilder()
+        white = b.add_material(MaterialSpec(M.DIFFUSE, diffuse=(0.7, 0.7, 0.7)))
+        light = b.add_material(MaterialSpec(M.LIGHT, emissive=(5.0, 5.0, 5.0)))
+        b.add_quad_uv((-40, 49.0, -40), (80, 0, 0), (0, 0, 80), light)
+        return b, white
+
+    b, white = build(0.0)
+    # A big slanted triangle in front of the camera.
+    v0 = np.array([[-30.0, -20.0, 30.0]], np.float32)
+    v1 = np.array([[30.0, -20.0, 32.0]], np.float32)
+    v2 = np.array([[0.0, 25.0, 28.0]], np.float32)
+    b.add_triangles(v0, v1, v2, white)
+    scene = b.compile()
+    camera = Camera.create(origin=(0, 0, -60), aperture_size=0.0)
+    cfg = RenderConfig(width=8, height=8, spp=2, max_depth=2)
+
+    def loss_fn(dz):
+        # Move v2 along z; rebuild the differentiable triangle fields.
+        g = scene.geometry
+        v2m = g.tri_v0 + g.tri_e2 + jnp.array([0.0, 0.0, 1.0]) * dz
+        e2 = v2m - g.tri_v0
+        cr = jnp.cross(g.tri_e1, e2)
+        area2 = jnp.linalg.norm(cr, axis=-1)
+        ng = cr / jnp.maximum(area2, 1e-30)[:, None]
+        g2 = g._replace(tri_e2=e2, tri_ng=ng, tri_area2=area2,
+                        tri_n0=ng, tri_n1=ng, tri_n2=ng)
+        s2 = scene._replace(geometry=g2)
+        img = render_image_rows(s2, camera, cfg, seed=3, frame_idx=0, y0=0,
+                                rows=cfg.height)
+        return jnp.mean(img)
+
+    ad = float(jax.jit(jax.grad(loss_fn))(0.0))
+    h = 5e-2
+    fd = (float(loss_fn(h)) - float(loss_fn(-h))) / (2 * h)
+    assert np.isfinite(ad) and abs(fd) > 1e-6
+    np.testing.assert_allclose(ad, fd, rtol=5e-2)

@@ -76,7 +76,9 @@ def test_recovery_step_reduces_loss():
     params = {"diffuse": scene.materials.diffuse * 0.5}
     recover = make_recovery_step(mesh, cfg, param_names=("diffuse",), lr=0.8)
     losses = []
-    for it in range(12):
+    for it in range(25):
+        # Fixed frame → deterministic descent (stochastic frames are
+        # exercised by examples/recover_albedo.py).
         params, loss = recover(params, scene, camera, target, 5, 0)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.35, losses
