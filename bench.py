@@ -129,9 +129,9 @@ def build_mesh_scene(grid=224):
     return b
 
 
-def bench_mesh(width=128, height=128, spp=1, max_depth=2, outer_iters=2):
-    """100k-tri BVH-path benchmark (small config; see PERF_NOTES.md for the
-    round-2 coherence roadmap — incoherent bounces dominate this path)."""
+def bench_mesh(width=512, height=512, spp=2, max_depth=4, outer_iters=2):
+    """100k-tri BVH-path benchmark (BASELINE config 3: 4 bounces, DoF).
+    Larger wavefronts raise sorted-bounce coherence; see PERF_NOTES.md."""
     from fspt_tpu.config import RenderConfig
     from fspt_tpu.ops.pallas_bvh import make_mesh_intersector
     from fspt_tpu.render import integrator

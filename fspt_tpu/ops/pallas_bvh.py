@@ -262,11 +262,14 @@ def make_bvh_traverser(bvh: FlatBVH, max_leaf: int,
     return traverse
 
 
-def make_mesh_intersector(scene_pack, block_rays: int = 512,
-                          interpret: bool | None = None):
+def make_mesh_intersector(scene_pack, block_rays: int = 128,
+                          interpret: bool | None = None, sort: bool = True):
     """Full-scene intersector for BVH scenes: Pallas analytic kernel seeds
-    ``t``, the MXU treelet kernel refines, triangle shading attributes gather
-    in XLA.  Returns ``fn(start, seg) → Hit`` or None if not applicable."""
+    ``t``, the culled MXU treelet kernel refines, triangle shading attributes
+    gather in XLA.  Returns ``fn(start, seg[, alive]) → Hit`` or None if not
+    applicable.  With ``sort`` the whole wavefront is reordered by
+    (direction octant, origin Morton) before blocking — see
+    make_sorted_intersector."""
     from fspt_tpu.ops.bvh import build_bvh
     from fspt_tpu.ops.intersect import Hit, KIND_TRIANGLE
     from fspt_tpu.ops.pallas_trace import make_pallas_intersector
@@ -284,13 +287,34 @@ def make_mesh_intersector(scene_pack, block_rays: int = 512,
     v1 = v0 + np.asarray(fine.tri_e1)[order]
     v2 = v0 + np.asarray(fine.tri_e2)[order]
     coarse = build_bvh(v0, v1, v2, max_leaf=TREELET)
-    trav = make_treelet_traverser(coarse, block_rays=block_rays,
-                                  interpret=interpret)
+    trav = make_culled_traverser(coarse, block_rays=block_rays, group=8,
+                                 interpret=interpret)
     ts = scene_pack.tri_shade
 
-    def intersect(start, seg):
+    # Mesh bounds for t clipping: every triangle hit lies inside this box,
+    # so a ray's box-exit param bounds its deepest possible hit.  Rays that
+    # escape the mesh (sky-bound bounces) get near-zero traversal work.
+    mlo = np.minimum(v0, np.minimum(v1, v2)).min(axis=0)
+    mhi = np.maximum(v0, np.maximum(v1, v2)).max(axis=0)
+    box_lo = jnp.asarray(mlo, jnp.float32)
+    box_hi = jnp.asarray(mhi, jnp.float32)
+
+    def _box_exit(start, seg):
+        inv = 1.0 / jnp.where(jnp.abs(seg) < 1e-30,
+                              jnp.where(seg >= 0, 1e-30, -1e-30), seg)
+        ta = (box_lo - start) * inv
+        tb = (box_hi - start) * inv
+        tnear = jnp.max(jnp.minimum(ta, tb), axis=-1)
+        tfar = jnp.min(jnp.maximum(ta, tb), axis=-1)
+        hitbox = (tnear <= tfar) & (tfar > 0.0)
+        return jnp.where(hitbox, tfar * 1.0001 + 1e-5, 0.0)
+
+    def intersect(start, seg, alive=None):
         base = base_fn(start, seg)
-        t_tri, tri_id, u, v = trav(start, seg, t_init=base.t)
+        t_init = jnp.minimum(base.t, _box_exit(start, seg))
+        if alive is not None:
+            t_init = jnp.where(alive, t_init, 0.0)
+        t_tri, tri_id, u, v = trav(start, seg, t_init=t_init)
         tri_hit = tri_id >= 0
         tid = jnp.maximum(tri_id, 0)
         n0, n1, n2 = ts.n0[tid], ts.n1[tid], ts.n2[tid]
@@ -309,7 +333,12 @@ def make_mesh_intersector(scene_pack, block_rays: int = 512,
             hit=base.hit | tri_hit,
         )
 
-    return intersect
+    if not sort:
+        intersect.accepts_alive = True
+        return intersect
+    lo = np.minimum(v0, np.minimum(v1, v2)).min(axis=0)
+    hi = np.maximum(v0, np.maximum(v1, v2)).max(axis=0)
+    return make_sorted_intersector(intersect, lo, hi)
 
 
 # ---------------------------------------------------------------------------
@@ -353,7 +382,9 @@ class PackedTreelets:
 
         # W[leaf, f, q, j]: feature × quantity × tri-column.
         W = np.zeros((n_leaves, _NF, _NQ, TREELET), np.float32)
-        area = np.zeros((n_leaves, TREELET), np.float32)
+        # Padding slots carry a huge area so |det| >= EPSILON·area is never
+        # satisfied — they can't produce hits in either kernel.
+        area = np.full((n_leaves, TREELET), 3.0e38, np.float32)
         ids = np.full((n_leaves, TREELET), -1, np.int32)
         leaf_base = np.zeros(self.n_nodes, np.int32)
         for ord_, node in enumerate(leaf_nodes):
@@ -552,7 +583,7 @@ def make_treelet_traverser(bvh: FlatBVH, block_rays: int = 512,
             kernel,
             grid=grid,
             in_specs=[fspec] + [full] * 9
-            + [pl.BlockSpec(memory_space=pltpu.ANY)] + [full] * 2,
+            + [pl.BlockSpec(memory_space=pl.ANY)] + [full] * 2,
             out_specs=ospec,
             out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
             scratch_shapes=[
@@ -564,5 +595,377 @@ def make_treelet_traverser(bvh: FlatBVH, block_rays: int = 512,
         t = out[:n, 0]
         tid = jax.lax.bitcast_convert_type(out[:n, 1], jnp.int32)
         return t, tid, out[:n, 2], out[:n, 3]
+
+    return traverse
+
+
+# ---------------------------------------------------------------------------
+# Wavefront sorting: the TPU answer to bounce-ray divergence.
+#
+# Packet culling only works while a block's rays share a frustum.  Primary
+# rays do (tile order); bounce rays scatter.  Sorting every wavefront by
+# (direction octant, origin Morton) restores coherence for *all* bounces —
+# an XLA argsort on a single int32 key is dense, fast, and differentiable-
+# safe (only integer permutations flow through it).  Dead lanes sort to the
+# end, so trailing blocks carry t_init=0 frustums and exit immediately:
+# stream compaction without a dynamic shape (SURVEY.md §7 hard part 3).
+
+
+def _spread6(x, bits):
+    """Spread the low ``bits`` bits of x so consecutive bits are 6 apart."""
+    out = jnp.zeros_like(x)
+    for i in range(bits):
+        out = out | (((x >> i) & 1) << (6 * i))
+    return out
+
+
+def morton_keys(start, seg, alive, lo, hi):
+    """int32 sort key: 6-D Morton over (origin, direction), 5 bits/axis.
+
+    Blocks need BOTH a tight origin box and a tight direction box for the
+    interval frustum to cull; interleaving all six quantized coordinates
+    clusters on both at every scale.  Origin-only keys degenerate for
+    pinhole primaries (all origins equal), direction-only keys degenerate
+    for diffuse bounces off a small patch.
+    """
+    scale = 31.0 / jnp.maximum(hi - lo, 1e-6)
+    qo = jnp.clip((start - lo) * scale, 0.0, 31.0).astype(jnp.int32)
+    dn = seg / jnp.maximum(
+        jnp.linalg.norm(seg, axis=-1, keepdims=True), 1e-30)
+    qd = jnp.clip((dn + 1.0) * 15.999, 0.0, 31.0).astype(jnp.int32)
+    key = jnp.zeros(start.shape[:1], jnp.int32)
+    for a in range(3):
+        key = key | (_spread6(qd[:, a], 5) << a)
+        key = key | (_spread6(qo[:, a], 5) << (a + 3))
+    if alive is not None:
+        key = jnp.where(alive, key, jnp.int32(1 << 30))
+    return key
+
+
+def make_sorted_intersector(inner, scene_lo, scene_hi):
+    """Wrap an ``fn(start, seg, alive)`` intersector with wavefront sorting."""
+    lo = jnp.asarray(scene_lo, jnp.float32)
+    hi = jnp.asarray(scene_hi, jnp.float32)
+
+    def intersect(start, seg, alive=None):
+        key = morton_keys(start, seg, alive, lo, hi)
+        order = jnp.argsort(key)
+        hit = inner(start[order], seg[order],
+                    None if alive is None else alive[order])
+        n = start.shape[0]
+        inv = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        return jax.tree.map(lambda a: a[inv], hit)
+
+    intersect.accepts_alive = True
+    return intersect
+
+
+# ---------------------------------------------------------------------------
+# Culled treelet traversal: the tree walk, inverted for the TPU.
+#
+# The sequential miss-link walk costs ~1-2 µs per node visit (dynamic row
+# slice + one-hot reduction per scalar, ×9, plus while_loop overhead) and
+# visits every node when blocks are incoherent.  At treelet granularity the
+# whole "tree" is only a few hundred leaves, so we drop the hierarchy
+# entirely and split traversal into two TPU-shaped stages:
+#
+#   1. XLA cull: every ray block's interval frustum is tested against EVERY
+#      treelet AABB at once — a dense [blocks, leaves] batch of slab tests
+#      (pure VPU math, ~30 flops each), then one argsort orders each block's
+#      surviving leaves front-to-back by conservative entry t.
+#   2. Pallas sweep: each block walks only its own compacted list — per
+#      leaf: one scalar read, one 32 KB weight DMA, one (R,16)@(16,512) MXU
+#      Möller–Trumbore matmul — and exits as soon as the sorted entry t
+#      exceeds the block's worst hit (the classic closest-hit early-out).
+#
+# No per-lane gather, no divergence, and the expensive stage scales with
+# *surviving* leaves, not tree size.
+
+
+GROUP = 4  # treelets swept per kernel iteration (amortizes fixed costs)
+
+
+def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
+                          sub_bundles: int = 8, group: int = GROUP,
+                          precision=jax.lax.Precision.HIGHEST,
+                          interpret: bool | None = None):
+    """Compile ``fn(start[N,3], seg[N,3], t_init[N]) → (t, tri_id, u, v)``.
+
+    ``bvh`` must be built with max_leaf=TREELET.  Lanes with t_init<=0 are
+    treated as dead: they contribute nothing to block frustums and trigger
+    no leaf work.  Each block's leaf list is the union of ``sub_bundles``
+    tighter per-bundle frustum culls (strictly fewer survivors than one
+    block-wide frustum).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    packed = PackedTreelets(bvh)
+    R = block_rays
+    S = sub_bundles
+    assert R % S == 0
+    G = group
+    assert LANE % G == 0
+    n_leaves = packed.n_leaves
+    l_rows = max(1, (n_leaves + LANE - 1) // LANE)
+    l_pad = l_rows * LANE
+    big = jnp.float32(3.0e38)
+
+    # Leaf AABBs in leaf order (PackedTreelets preserves pre-order leaf rank).
+    f = np.asarray
+    count_np = f(bvh.count)
+    leaf_nodes = np.nonzero(count_np > 0)[0]
+    lbmin = jnp.asarray(f(bvh.bmin)[leaf_nodes], jnp.float32)  # [L,3]
+    lbmax = jnp.asarray(f(bvh.bmax)[leaf_nodes], jnp.float32)
+
+    def cull(start_b, seg_b, t0_b):
+        """[B,R,3]×2, [B,R] → sorted leaf ids [B,Lp], entry t [B,Lp], counts [B,1]."""
+        bb = start_b.shape[0]
+        sb = start_b.reshape(bb * S, R // S, 3)
+        gb = seg_b.reshape(bb * S, R // S, 3)
+        tb = t0_b.reshape(bb * S, R // S)
+        valid = tb > 0.0
+        vmask = valid[..., None]
+        o0 = jnp.min(jnp.where(vmask, sb, big), axis=1)  # [B·S,3]
+        o1 = jnp.max(jnp.where(vmask, sb, -big), axis=1)
+        d0 = jnp.min(jnp.where(vmask, gb, big), axis=1)
+        d1 = jnp.max(jnp.where(vmask, gb, -big), axis=1)
+        t_blk = jnp.minimum(jnp.max(tb, axis=1), 1.0)  # [B·S]
+        any_valid = jnp.any(valid, axis=1)
+
+        a = lbmin[None] - o1[:, None]  # [B·S,L,3]
+        b_ = lbmax[None] - o0[:, None]
+        crosses = ((d0 <= 0.0) & (d1 >= 0.0))[:, None, :]
+        sd0 = jnp.where(jnp.abs(d0) < 1e-30, 1e-30, d0)[:, None, :]
+        sd1 = jnp.where(jnp.abs(d1) < 1e-30, 1e-30, d1)[:, None, :]
+        lo = jnp.minimum(jnp.minimum(a / sd0, a / sd1),
+                         jnp.minimum(b_ / sd0, b_ / sd1))
+        hi = jnp.maximum(jnp.maximum(a / sd0, a / sd1),
+                         jnp.maximum(b_ / sd0, b_ / sd1))
+        lo = jnp.where(crosses, -big, lo)
+        hi = jnp.where(crosses, big, hi)
+        inside = (b_ >= 0.0) & (a <= 0.0)
+        lo = jnp.where(inside, jnp.minimum(lo, 0.0), lo)
+        hi = jnp.where(inside, jnp.maximum(hi, 0.0), hi)
+        t_lo = jnp.max(lo, axis=-1)  # [B·S,L]
+        t_hi = jnp.min(hi, axis=-1)
+        overlap = ((t_lo <= t_hi) & (t_hi >= 0.0)
+                   & (t_lo <= t_blk[:, None]) & any_valid[:, None])
+        key_s = jnp.where(overlap, jnp.maximum(t_lo, 0.0), big)
+        # Block list = union over sub-bundles; entry t = best over bundles.
+        key = jnp.min(key_s.reshape(bb, S, n_leaves), axis=1)  # [B,L]
+        counts = jnp.sum(key < big, axis=1, dtype=jnp.int32)
+        b_rows = -(-bb // LANE)
+        counts = jnp.pad(counts, (0, b_rows * LANE - bb)).reshape(b_rows, LANE)
+        key = jnp.pad(key, ((0, 0), (0, l_pad - n_leaves)),
+                      constant_values=big)
+        order = jnp.argsort(key, axis=1).astype(jnp.int32)  # [B,Lp]
+        tlo_sorted = jnp.take_along_axis(key, order, axis=1)
+        # Clamp pad entries: the kernel may sweep a couple of slots past
+        # count (group granularity) — any in-range leaf is a correct,
+        # merely wasteful test; an out-of-range id would be an OOB DMA.
+        order = jnp.minimum(order, n_leaves - 1)
+        return order, tlo_sorted, counts
+
+    def kernel(count_ref, F_ref, list_ref, tlo_ref, w_ref, area_ref,
+               out_ref, w_scratch0, w_scratch1, sem0, sem1):
+        F = F_ref[:]  # (R,16): [d, o×d, o, 1, t0, pad]
+        t_best = F[:, 10:11]  # (R,1)
+        count = _read_scalar(count_ref, pl.program_id(0))
+        big = jnp.float32(3.0e38)  # local: kernels may not capture tracers
+        nrw = _NF * _NQ  # weight rows per leaf
+
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+
+        def read_group(ref, gk):
+            """G consecutive scalars starting at slot gk (G | LANE, G | gk)."""
+            row = ref[pl.ds(gk // LANE, 1), :]  # (1,128)
+            lane0 = gk % LANE
+            zero = jnp.zeros_like(row)
+            return [jnp.sum(jnp.where(lane_iota == lane0 + j, row, zero))
+                    for j in range(G)]
+
+        def fetch(leaves, buf, sem):
+            for j in range(G):
+                pltpu.make_async_copy(
+                    w_ref.at[pl.ds(leaves[j] * nrw, nrw), :],
+                    buf.at[pl.ds(j * nrw, nrw), :],
+                    sem.at[j]).start()
+
+        def fetch_par(leaves, parity):
+            jax.lax.cond(parity == 0,
+                         lambda: fetch(leaves, w_scratch0, sem0),
+                         lambda: fetch(leaves, w_scratch1, sem1))
+
+        def wait_j(buf, sem, j):
+            pltpu.make_async_copy(
+                w_ref.at[pl.ds(0, nrw), :],
+                buf.at[pl.ds(j * nrw, nrw), :],
+                sem.at[j]).wait()
+            return buf[pl.ds(j * nrw, nrw), :]
+
+        def wait_par(parity, j):
+            """Wait only leaf j's copy — later copies keep overlapping the
+            earlier leaves' matmuls."""
+            return jax.lax.cond(
+                parity == 0,
+                lambda: wait_j(w_scratch0, sem0, j),
+                lambda: wait_j(w_scratch1, sem1, j))
+
+        # Software pipeline: group k+1's G weight DMAs are in flight while
+        # group k's MXU matmuls and hit update run.  The group's leaf ids
+        # ride in the loop state so each group is only decoded once.
+        zero_i = jnp.zeros((), jnp.int32)
+        leaves0 = read_group(list_ref, zero_i)
+        jax.lax.cond(count > 0, lambda: fetch_par(leaves0, zero_i),
+                     lambda: None)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, G * TREELET), 1)
+        best0 = jnp.full((R, 1), -1, jnp.int32)  # packed leaf*TREELET+j
+
+        def cond(state):
+            return state[0] < count
+
+        def body(state):
+            k, t_best, best, *leaves = state
+            # Decide continuation BEFORE prefetching: every DMA started here
+            # is consumed next iteration (an un-awaited in-flight copy at
+            # kernel exit aborts the TPU).  t_blk is therefore one group
+            # stale — at most one extra group is swept.
+            t_blk = jnp.minimum(jnp.max(t_best), 1.0)
+            nk = k + G
+            idx = jnp.minimum(nk, count - 1)
+            leaves_n = read_group(list_ref, idx)
+            tlo_row = tlo_ref[pl.ds(idx // LANE, 1), :]
+            tlo_next = jnp.sum(jnp.where(lane_iota == idx % LANE, tlo_row,
+                                         jnp.zeros_like(tlo_row)))
+            cont = (nk < count) & (tlo_next <= t_blk)
+            parity = (k // G) % 2
+            jax.lax.cond(cont, lambda: fetch_par(leaves_n, 1 - parity),
+                         lambda: None)
+
+            tcs, packs = [], []
+            for j in range(G):
+                W = wait_par(parity, j).reshape(_NF, _NQ * TREELET)  # (16,512)
+                out = jnp.dot(F, W, preferred_element_type=jnp.float32,
+                              precision=precision)
+                out = out.reshape(R, _NQ, TREELET)
+                det = out[:, 0, :]
+                u_num = out[:, 1, :]
+                v_num = out[:, 2, :]
+                t_num = out[:, 3, :]
+                area = area_ref[pl.ds(leaves[j], 1), :]  # (1,128)
+                np_ = jnp.abs(det) >= vm.EPSILON * area
+                inv = 1.0 / jnp.where(np_, det, 1.0)
+                ub = u_num * inv
+                vb = v_num * inv
+                tc = t_num * inv
+                ok = (np_ & (ub >= 0) & (vb >= 0) & (ub + vb <= 1)
+                      & (tc >= 0) & (tc <= 1) & (tc < t_best))
+                tcs.append(jnp.where(ok, tc, big))
+                packs.append(jnp.broadcast_to(
+                    leaves[j] * TREELET
+                    + jax.lax.broadcasted_iota(jnp.int32, (1, TREELET), 1),
+                    (R, TREELET)))
+            tc_all = jnp.concatenate(tcs, axis=1)  # (R, G·128)
+            pack_all = jnp.concatenate(packs, axis=1)
+            t_min = jnp.min(tc_all, axis=1, keepdims=True)  # (R,1)
+            any_hit = t_min < big
+            j_min = jnp.min(jnp.where(tc_all <= t_min, col, G * TREELET),
+                            axis=1, keepdims=True)
+            sel = col == j_min
+            picked = jnp.sum(jnp.where(sel, pack_all, 0), axis=1,
+                             keepdims=True)
+            t_best = jnp.where(any_hit, t_min, t_best)
+            best = jnp.where(any_hit, picked, best)
+
+            # tlo is sorted ascending and t_blk only shrinks: the first
+            # too-far group ends the block's sweep.
+            k = jnp.where(cont, nk, count)
+            return (k, t_best, best, *leaves_n)
+
+        k0 = jnp.zeros((), jnp.int32)
+        res = jax.lax.while_loop(cond, body, (k0, t_best, best0, *leaves0))
+        _, t_best, best = res[0], res[1], res[2]
+        out_ref[:] = jnp.concatenate(
+            [t_best, pltpu.bitcast(best, jnp.float32),
+             jnp.zeros((R, 2), jnp.float32)], axis=1
+        )
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((R, _NF), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((l_rows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole lane-packed counts
+    ospec = pl.BlockSpec((R, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    w_rows = jnp.asarray(packed.w_rows)
+    area = jnp.asarray(packed.area)
+    # Triangle lookup for the post-pass: leaf ordinal → first tri slot.
+    first_np = f(bvh.first)
+    leaf_first = jnp.asarray(first_np[leaf_nodes], jnp.int32)
+
+    def traverse(start, seg, t_init=None):
+        n = start.shape[0]
+        n_pad = pl.cdiv(n, R) * R
+        n_blocks = n_pad // R
+
+        t0 = (jnp.full((n,), INVALID_PARAM, jnp.float32)
+              if t_init is None else t_init)
+        start_p = jnp.pad(start, ((0, n_pad - n), (0, 0)))
+        seg_p = jnp.pad(seg, ((0, n_pad - n), (0, 0)))
+        t0_p = jnp.pad(t0, (0, n_pad - n))  # padding: t0=0 → dead
+
+        order, tlo_sorted, counts = cull(
+            start_p.reshape(n_blocks, R, 3), seg_p.reshape(n_blocks, R, 3),
+            t0_p.reshape(n_blocks, R))
+
+        c = jnp.cross(start_p, seg_p)
+        ones = jnp.ones((n_pad, 1), jnp.float32)
+        zeros = jnp.zeros((n_pad, _NF - 11), jnp.float32)
+        F = jnp.concatenate([seg_p, c, start_p, ones, t0_p[:, None], zeros],
+                            axis=1)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[cspec, fspec, lspec, lspec,
+                      pl.BlockSpec(memory_space=pl.ANY), full],
+            out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((G * _NF * _NQ, TREELET), jnp.float32),
+                pltpu.VMEM((G * _NF * _NQ, TREELET), jnp.float32),
+                pltpu.SemaphoreType.DMA((G,)),
+                pltpu.SemaphoreType.DMA((G,)),
+            ],
+            interpret=interpret,
+        )(counts, F,
+          order.reshape(n_blocks * l_rows, LANE),
+          tlo_sorted.reshape(n_blocks * l_rows, LANE),
+          w_rows, area)
+        t_kern = out[:n, 0]
+        best = jax.lax.bitcast_convert_type(out[:n, 1], jnp.int32)
+
+        # Post-pass (XLA): the sweep only tracks (t, packed best index) —
+        # recompute u, v, t and the original triangle id for the single
+        # winning triangle per ray with one gather + Möller–Trumbore.
+        hit = best >= 0
+        leaf = jnp.maximum(best, 0) // TREELET
+        slot = leaf_first[leaf] + jnp.maximum(best, 0) % TREELET
+        v0g = bvh.tri_v0[slot]
+        e1g = bvh.tri_e1[slot]
+        e2g = bvh.tri_e2[slot]
+        pvec = jnp.cross(seg, e2g)
+        det = jnp.sum(e1g * pvec, axis=-1)
+        inv = 1.0 / jnp.where(jnp.abs(det) > 0, det, 1.0)
+        tvec = start - v0g
+        u = jnp.sum(tvec * pvec, axis=-1) * inv
+        qvec = jnp.cross(tvec, e1g)
+        v = jnp.sum(seg * qvec, axis=-1) * inv
+        t_re = jnp.sum(e2g * qvec, axis=-1) * inv
+        t = jnp.where(hit, t_re, t_kern)
+        tid = jnp.where(hit, bvh.tri_id[slot], -1)
+        return t, tid, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
 
     return traverse

@@ -112,7 +112,13 @@ def trace_radiance(scene: ScenePack, cfg: RenderConfig, start, seg,
         segments = segments + jnp.sum(alive.astype(jnp.int32))
 
         if intersector is not None:
-            hit = intersector(start, seg)
+            # Intersectors that understand liveness (the sorted/culled mesh
+            # path) sort dead lanes out of the working set — compaction
+            # without dynamic shapes.
+            if getattr(intersector, "accepts_alive", False):
+                hit = intersector(start, seg, alive)
+            else:
+                hit = intersector(start, seg)
         elif scene.bvh is not None:
             hit = _intersect_with_bvh(scene, start, seg)
         else:

@@ -8,6 +8,7 @@ from fspt_tpu.ops.bvh import MAX_LEAF_TRIS, build_bvh, traverse_bvh
 from fspt_tpu.ops.pallas_bvh import (
     TREELET,
     make_bvh_traverser,
+    make_culled_traverser,
     make_mesh_intersector,
     make_treelet_traverser,
 )
@@ -59,6 +60,60 @@ def test_mxu_treelet_traverser_matches_xla():
     assert (np.asarray(id_ref)[h] == np.asarray(id_pal)[h]).mean() > 0.999
     np.testing.assert_allclose(np.asarray(u_ref)[h], np.asarray(u_pal)[h],
                                rtol=1e-3, atol=1e-4)
+
+
+def test_culled_traverser_matches_xla():
+    v0, v1, v2 = _tris(3000, seed=7)
+    bvh_fine = build_bvh(v0, v1, v2)
+    bvh_coarse = build_bvh(v0, v1, v2, max_leaf=TREELET)
+    start, seg = _rays(1500, seed=8)
+    t_ref, id_ref, u_ref, _ = traverse_bvh(bvh_fine, start, seg)
+    trav = make_culled_traverser(bvh_coarse, block_rays=256)
+    t_pal, id_pal, u_pal, _ = trav(start, seg)
+    np.testing.assert_allclose(np.asarray(t_ref), np.asarray(t_pal),
+                               rtol=1e-4, atol=1e-6)
+    h = np.asarray(t_ref) < 2.0
+    assert (np.asarray(id_ref)[h] == np.asarray(id_pal)[h]).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(u_ref)[h], np.asarray(u_pal)[h],
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_culled_traverser_dead_lanes():
+    """t_init<=0 lanes are dead: no hits, and live lanes are unaffected."""
+    v0, v1, v2 = _tris(1000, seed=9)
+    bvh_fine = build_bvh(v0, v1, v2)
+    bvh_coarse = build_bvh(v0, v1, v2, max_leaf=TREELET)
+    start, seg = _rays(600, seed=10)
+    t_ref, id_ref, _, _ = traverse_bvh(bvh_fine, start, seg)
+    trav = make_culled_traverser(bvh_coarse, block_rays=256)
+    alive = np.zeros(600, bool)
+    alive[::3] = True
+    t0 = jnp.where(jnp.asarray(alive), 2.0, 0.0)
+    t_pal, id_pal, _, _ = trav(start, seg, t_init=t0)
+    assert (np.asarray(id_pal)[~alive] == -1).all()
+    live = alive & (np.asarray(t_ref) < 2.0)
+    np.testing.assert_allclose(np.asarray(t_ref)[live], np.asarray(t_pal)[live],
+                               rtol=1e-4, atol=1e-6)
+    assert (np.asarray(id_ref)[live] == np.asarray(id_pal)[live]).mean() > 0.999
+
+
+def test_sorted_intersector_matches_unsorted():
+    """Wavefront sorting is a pure permutation: Hit output is unchanged."""
+    builder = build_cornell_box()
+    v0, v1, v2 = _tris(300, seed=11)
+    off = np.array([0, -25, 0], np.float32)
+    builder.add_triangles(v0 * 0.2 + off, v1 * 0.2 + off, v2 * 0.2 + off, mat=0)
+    scene = builder.compile(bvh_threshold=64)
+    plain = make_mesh_intersector(scene, sort=False, block_rays=256)
+    srt = make_mesh_intersector(scene, sort=True, block_rays=256)
+    start, seg = _rays(500, seed=12)
+    alive = jnp.asarray(np.random.RandomState(13).rand(500) > 0.3)
+    h0 = plain(start, seg, alive)
+    h1 = srt(start, seg, alive)
+    m = np.asarray(alive)
+    np.testing.assert_allclose(np.asarray(h0.t)[m], np.asarray(h1.t)[m],
+                               rtol=1e-4, atol=1e-6)
+    assert (np.asarray(h0.mat)[m] == np.asarray(h1.mat)[m]).mean() > 0.999
 
 
 def test_mesh_intersector_full_render():
