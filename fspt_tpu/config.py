@@ -32,6 +32,14 @@ class RenderConfig:
     # Number of uniforms drawn per bounce from the per-sample RNG stream.
     # Fixed so the oracle and the wavefront renderer consume identical streams.
     bounce_slots: int = 4
+    # Edge-reparameterization bandwidth (world units) for silhouette
+    # gradients w.r.t. triangle vertices.  0 disables it (default): forward
+    # renders are untouched and AD sees only interior gradients.  When > 0,
+    # triangle hits within this distance of an edge stochastically pass
+    # through the surface with probability (1 - edge_dist/eps); the
+    # throughput ratio-trick makes the expected image differentiable
+    # through the visibility boundary (see integrator.trace_radiance).
+    edge_eps: float = 0.0
 
     @property
     def effective_depth(self) -> int:

@@ -47,6 +47,10 @@ class Hit(NamedTuple):
     mat: jnp.ndarray  # [N] int32 material row
     prim_kind: jnp.ndarray  # [N] int32 (0..5) winning primitive type
     hit: jnp.ndarray  # [N] bool
+    # World-space distance from the hit point to the winning triangle's
+    # nearest edge (+inf for non-triangles); differentiable w.r.t. vertices.
+    # Drives the edge-reparameterized silhouette gradients (integrator).
+    edge_dist: jnp.ndarray | None = None
 
 
 # Primitive kind codes (argmin tie order = this order).
@@ -183,7 +187,18 @@ def intersect_triangles(g: GeometryPack, start, seg):
     normal = n0 + (n1 - n0) * u_best[:, None] + (n2 - n0) * v_best[:, None]
     t0, t1, t2 = g.tri_t0[idx], g.tri_t1[idx], g.tri_t2[idx]
     texcoords = t0 + (t1 - t0) * u_best[:, None] + (t2 - t0) * v_best[:, None]
-    return t_best, dict(point=point, normal=normal, mat=g.tri_mat[idx], texcoords=texcoords)
+    # World distance from the hit to the nearest triangle edge: barycentric
+    # coordinate × the triangle height over that edge (2A / edge length).
+    # Differentiable w.r.t. vertices; drives silhouette reparameterization.
+    e1b, e2b = g.tri_e1[idx], g.tri_e2[idx]
+    a2 = g.tri_area2[idx]
+    w_best = 1.0 - u_best - v_best
+    d_u = u_best * a2 / jnp.maximum(vm.length(e2b), 1e-30)
+    d_v = v_best * a2 / jnp.maximum(vm.length(e1b), 1e-30)
+    d_w = w_best * a2 / jnp.maximum(vm.length(e2b - e1b), 1e-30)
+    edge_dist = jnp.minimum(jnp.minimum(d_u, d_v), d_w)
+    return t_best, dict(point=point, normal=normal, mat=g.tri_mat[idx],
+                        texcoords=texcoords, edge_dist=edge_dist)
 
 
 def intersect_scene(g: GeometryPack, start, seg) -> Hit:
@@ -226,6 +241,9 @@ def intersect_scene(g: GeometryPack, start, seg) -> Hit:
     texcoords = jnp.where((kind == KIND_CUBOID)[:, None], tc_planar * 0.1, texcoords)
     texcoords = jnp.where((kind == KIND_TRIANGLE)[:, None], a_tri["texcoords"], texcoords)
 
+    edge_dist = jnp.where(kind == KIND_TRIANGLE, a_tri["edge_dist"],
+                          jnp.float32(3.0e38))
+
     return Hit(
         t=t_best,
         point=point,
@@ -234,4 +252,5 @@ def intersect_scene(g: GeometryPack, start, seg) -> Hit:
         mat=mat,
         prim_kind=kind,
         hit=hit,
+        edge_dist=edge_dist,
     )

@@ -34,6 +34,9 @@ U32 = np.uint32
 # Counter-space layout; keep camera and bounce streams disjoint.
 CTR_CAMERA = 0
 CTR_BOUNCE = 16
+# Edge-reparameterization draws live far from the bounce range so enabling
+# them never shifts the material-sampling streams (oracle parity holds).
+CTR_EDGE = 4096
 
 SLOT_CHOICE = 0
 SLOT_DIR_A = 1
@@ -86,6 +89,12 @@ def bounce_uniforms(seed, pixel, sample, depth, bounce_slots=4):
     base = CTR_BOUNCE + depth * bounce_slots
     us = [stream_uniform(seed, pixel, sample, base + s) for s in range(4)]
     return _stack_last(us)
+
+
+def edge_uniform(seed, pixel, sample, depth):
+    """The per-bounce edge-reparameterization uniform (its own counter
+    namespace — drawing it never perturbs material-sampling streams)."""
+    return stream_uniform(seed, pixel, sample, CTR_EDGE + depth)
 
 
 def _stack_last(arrays):

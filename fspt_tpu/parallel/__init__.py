@@ -10,7 +10,11 @@ reduction (``psum``) appears only in the differentiable path.
 
 from fspt_tpu.parallel.mesh import make_mesh, mesh_devices
 from fspt_tpu.parallel.render import make_sharded_render_step, sharded_framebuffer
-from fspt_tpu.parallel.train import make_recovery_step
+from fspt_tpu.parallel.train import (
+    apply_vertices,
+    make_recovery_step,
+    make_vertex_recovery_step,
+)
 
 __all__ = [
     "make_mesh",
@@ -18,4 +22,6 @@ __all__ = [
     "make_sharded_render_step",
     "sharded_framebuffer",
     "make_recovery_step",
+    "make_vertex_recovery_step",
+    "apply_vertices",
 ]

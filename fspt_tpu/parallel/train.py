@@ -24,6 +24,21 @@ def _apply_params(scene, params):
     return scene._replace(materials=table)
 
 
+def apply_vertices(scene, params):
+    """Swap optimizable triangle vertices {v0,v1,v2} into the geometry,
+    rebuilding the derived fields (edges, geometric/flat shading normals,
+    2·area) so the whole intersector stays differentiable w.r.t. them."""
+    v0, v1, v2 = params["v0"], params["v1"], params["v2"]
+    e1, e2 = v1 - v0, v2 - v0
+    cr = jnp.cross(e1, e2)
+    area2 = jnp.linalg.norm(cr, axis=-1)
+    ng = cr / jnp.maximum(area2, 1e-30)[:, None]
+    g = scene.geometry._replace(tri_v0=v0, tri_e1=e1, tri_e2=e2,
+                                tri_ng=ng, tri_area2=area2,
+                                tri_n0=ng, tri_n1=ng, tri_n2=ng)
+    return scene._replace(geometry=g)
+
+
 def render_image_rows(scene, camera, cfg: RenderConfig, seed, frame_idx, y0, rows):
     """Differentiable mean-radiance image for a scanline band [rows,W,3]."""
     out = integrator.render_wavefront(
@@ -44,7 +59,8 @@ DEFAULT_CONSTRAINTS = {
 
 
 def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissive"),
-                       lr: float = 0.5, optimizer=None, constraints=None):
+                       lr: float = 0.5, optimizer=None, constraints=None,
+                       apply_fn=_apply_params, pool: int = 8):
     """Build a jitted sharded optimizer step on the named material-table columns.
 
     Returns ``step(params, scene, camera, target, seed, frame_idx) ->
@@ -55,6 +71,11 @@ def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissiv
     ``optimizer``: an optax GradientTransformation; defaults to plain SGD at
     ``lr``.  With an optimizer, call :func:`make_recovery_step_with_state`
     semantics via the returned step's ``init(params)`` attribute.
+
+    ``pool``: noise-pooling patch size in the loss.  Patches never cross
+    shard bands, so the objective depends on the device count unless
+    ``pool == 1`` (which is exactly the unpooled dual-buffer product and is
+    shard-count invariant).
     """
     n = mesh.devices.size
     if cfg.height % n != 0:
@@ -67,8 +88,7 @@ def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissiv
         ph, pw = h - h % py, w - w % px
         return x[:ph, :pw].reshape(ph // py, py, pw // px, px, 3).mean(axis=(1, 3))
 
-    def local_loss(params, scene, camera, target_local, seed, frame_idx, y0,
-                   pool: int = 8):
+    def local_loss(params, scene, camera, target_local, seed, frame_idx, y0):
         # Two noise-robustness devices, both standard in inverse rendering:
         # 1. Dual-buffer product: naive MSE against a Monte-Carlo render is
         #    biased — E[(X−t)²] = Var(X) + (E[X]−t)² and Var grows with the
@@ -80,7 +100,7 @@ def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissiv
         #    −2Σ c_p δ_p that shifts the optimum; averaging p×p patches
         #    shrinks every noise projection by p² while global material
         #    parameters lose no constraints.
-        scene = _apply_params(scene, params)
+        scene = apply_fn(scene, params)
         img_a = render_image_rows(scene, camera, cfg, seed, frame_idx, y0,
                                   rows_local)
         img_b = render_image_rows(scene, camera, cfg, seed, frame_idx + 10007,
@@ -130,3 +150,18 @@ def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissiv
         return params, loss
 
     return step
+
+
+def make_vertex_recovery_step(mesh, cfg: RenderConfig, lr: float = 0.05,
+                              optimizer=None, pool: int = 1):
+    """BASELINE config 5: edge-reparameterized vertex gradients with rays
+    sharded across the device mesh.
+
+    ``cfg.edge_eps`` should be > 0 so silhouette motion is differentiable
+    (integrator.trace_radiance); interior shading gradients flow through the
+    Möller–Trumbore intersector either way.  Vertex grads are pmean-reduced
+    across the ray shards like material grads.
+    """
+    return make_recovery_step(mesh, cfg, lr=lr, optimizer=optimizer,
+                              constraints={}, apply_fn=apply_vertices,
+                              pool=pool)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from fspt_tpu import materials as mat_mod
@@ -157,6 +158,38 @@ def trace_radiance(scene: ScenePack, cfg: RenderConfig, start, seg,
         uniforms = rng.bounce_uniforms(seed, pixel_idx, sample_idx, depth,
                                        cfg.bounce_slots)
         sh = mat_mod.shade(table, tex, hit.mat, view, normal, hit.texcoords, uniforms)
+
+        # Edge reparameterization (silhouette gradients, cfg.edge_eps > 0):
+        # the expected image near a triangle edge is alpha·L_surface +
+        # (1−alpha)·L_background with alpha the smoothed coverage.  Sample
+        # the blend stochastically — pass-through with prob 1−alpha — and
+        # carry the ratio alpha/stop_grad(alpha) in the throughput: the
+        # value is 1 (the unbiased hard estimator as eps→0) but its
+        # derivative is ∂alpha/alpha, which is exactly the boundary term
+        # naive AD through hard hit selection drops.  At interior shared
+        # edges the pass-through ray lands on the adjacent triangle, so
+        # L_background ≈ L_surface and the smoothing bias vanishes.
+        if cfg.edge_eps > 0.0 and hit.edge_dist is not None:
+            alpha = jnp.clip(hit.edge_dist / cfg.edge_eps, 0.0, 1.0)
+            ue = rng.edge_uniform(seed, pixel_idx, sample_idx, depth)
+            pass_thru = active & (ue >= alpha)
+            keep = active & ~pass_thru
+            sg = jax.lax.stop_gradient
+            ratio = jnp.where(
+                pass_thru,
+                (1.0 - alpha) / jnp.maximum(sg(1.0 - alpha), 1e-6),
+                jnp.where(keep, alpha / jnp.maximum(sg(alpha), 1e-6), 1.0))
+            throughput = throughput * ratio[:, None]
+            view_dir_n = vm.normalize(seg)
+            sh = sh._replace(
+                direction=jnp.where(pass_thru[:, None], view_dir_n,
+                                    sh.direction),
+                bias=jnp.where(pass_thru[:, None], 0.0, sh.bias),
+                coef=jnp.where(pass_thru[:, None], 1.0, sh.coef),
+                will_indirect=jnp.where(pass_thru, True, sh.will_indirect),
+                is_light=jnp.where(pass_thru, False, sh.is_light),
+                is_fog=jnp.where(pass_thru, False, sh.is_fog),
+            )
 
         if depth == 0:
             aov_normal = jnp.where(hit.hit[:, None], normal, view_dir)

@@ -149,3 +149,107 @@ def test_vertex_gradients_interior_match_fd():
     fd = (float(loss_fn(h)) - float(loss_fn(-h))) / (2 * h)
     assert np.isfinite(ad) and abs(fd) > 1e-6
     np.testing.assert_allclose(ad, fd, rtol=5e-2)
+
+
+def _silhouette_scene():
+    """One emissive triangle against a dim sky: the ONLY gradient of the
+    mean image w.r.t. vertex motion is the silhouette (visibility) term —
+    emission is constant, so interior AD gradients are exactly zero and the
+    test cleanly isolates the edge-reparameterized boundary term."""
+    from fspt_tpu import materials as M
+    from fspt_tpu.camera import Camera
+    from fspt_tpu.materials import MaterialSpec
+    from fspt_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    tri = b.add_material(MaterialSpec(M.LIGHT, emissive=(4.0, 4.0, 4.0)))
+    sky = b.add_material(MaterialSpec(M.LIGHT, emissive=(0.1, 0.1, 0.1)))
+    b.set_sky(sky)
+    v0 = np.array([[-20.0, -15.0, 30.0]], np.float32)
+    v1 = np.array([[20.0, -15.0, 30.0]], np.float32)
+    v2 = np.array([[0.0, 15.0, 30.0]], np.float32)
+    b.add_triangles(v0, v1, v2, tri)
+    scene = b.compile()
+    camera = Camera.create(origin=(0, 0, -60), aperture_size=0.0)
+    return scene, camera
+
+
+def test_silhouette_gradients_edge_reparameterized():
+    """Edge reparameterization (cfg.edge_eps > 0) recovers the visibility
+    boundary term naive AD drops (SURVEY.md §7 hard part 2; BASELINE
+    config 5).  Growing the triangle raises mean image brightness; hard AD
+    sees ~none of that, edge-aware AD must match its own FD."""
+    from fspt_tpu.parallel.train import apply_vertices, render_image_rows
+
+    scene, camera = _silhouette_scene()
+    base = {
+        "v0": scene.geometry.tri_v0,
+        "v1": scene.geometry.tri_v0 + scene.geometry.tri_e1,
+        "v2": scene.geometry.tri_v0 + scene.geometry.tri_e2,
+    }
+
+    def mean_img(scale, cfg):
+        # Scale the triangle about its centroid: every silhouette edge moves.
+        c = (base["v0"] + base["v1"] + base["v2"]) / 3.0
+        params = {k: c + (v - c) * scale for k, v in base.items()}
+        s = apply_vertices(scene, params)
+        acc = 0.0
+        for seed in (0, 1, 2, 3):
+            img = render_image_rows(s, camera, cfg, seed=seed, frame_idx=0,
+                                    y0=0, rows=cfg.height)
+            acc = acc + jnp.mean(img)
+        return acc / 4.0
+
+    cfg_edge = RenderConfig(width=16, height=16, spp=8, max_depth=2,
+                            edge_eps=3.0)
+    cfg_hard = RenderConfig(width=16, height=16, spp=8, max_depth=2)
+
+    loss_edge = jax.jit(lambda s: mean_img(s, cfg_edge))
+    loss_hard = jax.jit(lambda s: mean_img(s, cfg_hard))
+
+    ad_edge = float(jax.jit(jax.grad(lambda s: mean_img(s, cfg_edge)))(1.0))
+    ad_hard = float(jax.jit(jax.grad(lambda s: mean_img(s, cfg_hard)))(1.0))
+
+    h = 0.04
+    fd_edge = (float(loss_edge(1.0 + h)) - float(loss_edge(1.0 - h))) / (2 * h)
+    fd_hard = (float(loss_hard(1.0 + h)) - float(loss_hard(1.0 - h))) / (2 * h)
+
+    # The true boundary term is positive and visible in both FDs.
+    assert fd_edge > 1e-3 and fd_hard > 1e-3
+    # Naive AD through hard visibility drops it almost entirely...
+    assert abs(ad_hard) < 0.25 * fd_hard
+    # ...edge-reparameterized AD recovers it.
+    np.testing.assert_allclose(ad_edge, fd_edge, rtol=0.35)
+    assert ad_edge > 0.5 * fd_hard
+
+
+def test_sharded_vertex_step_matches_single_device():
+    """Config-5 multi-device variant: the sharded vertex-recovery step's
+    pmean-reduced gradients give the same update on 1 and 8 devices."""
+    from fspt_tpu.parallel import make_mesh, make_vertex_recovery_step
+
+    scene, camera = _silhouette_scene()
+    cfg = RenderConfig(width=8, height=8, spp=2, max_depth=2, edge_eps=3.0)
+    params = {
+        "v0": scene.geometry.tri_v0,
+        "v1": scene.geometry.tri_v0 + scene.geometry.tri_e1,
+        "v2": scene.geometry.tri_v0 + scene.geometry.tri_e2,
+    }
+    from fspt_tpu.parallel.train import apply_vertices, render_image_rows
+
+    shrunk = {k: v * 0.9 for k, v in params.items()}
+    target = render_image_rows(apply_vertices(scene, params), camera, cfg,
+                               seed=11, frame_idx=3, y0=0, rows=cfg.height)
+
+    results = []
+    for n in (1, 8):
+        step = make_vertex_recovery_step(make_mesh(n), cfg, lr=0.05)
+        new_params, loss = step(dict(shrunk), scene, camera, target, 5, 0)
+        results.append((jax.tree.map(np.asarray, new_params), float(loss)))
+    (p1, l1), (p8, l8) = results
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for k in p1:
+        np.testing.assert_allclose(p1[k], p8[k], rtol=1e-4, atol=1e-6)
+    # The step moves vertices (gradients are nonzero).
+    moved = sum(float(np.abs(p1[k] - np.asarray(shrunk[k])).max()) for k in p1)
+    assert moved > 0.0
