@@ -129,9 +129,15 @@ def build_mesh_scene(grid=224):
     return b
 
 
-def bench_mesh(width=512, height=512, spp=2, max_depth=4, outer_iters=2):
+def bench_mesh(width=1024, height=1024, spp=4, max_depth=4, band_rows=128,
+               outer_iters=2):
     """100k-tri BVH-path benchmark (BASELINE config 3: 4 bounces, DoF).
-    Larger wavefronts raise sorted-bounce coherence; see PERF_NOTES.md."""
+
+    The frame renders in horizontal bands (render_wavefront y0/rows): ray
+    density per treelet-cull block grows with image resolution — the cull
+    feeds on angular coherence — while the wavefront stays ≤512k lanes,
+    below the [N,k]-tile-padding HBM ceiling (PERF_NOTES.md).  Banding
+    1024²×4spp measures 2× the monolithic 512²×2spp wavefront."""
     from fspt_tpu.config import RenderConfig
     from fspt_tpu.ops.pallas_bvh import make_mesh_intersector
     from fspt_tpu.render import integrator
@@ -141,22 +147,24 @@ def bench_mesh(width=512, height=512, spp=2, max_depth=4, outer_iters=2):
     camera = builder.cameras[0]
     cfg = RenderConfig(width=width, height=height, spp=spp, max_depth=max_depth)
     inter = make_mesh_intersector(scene)
-    log(f"mesh path: pallas MXU-treelet BVH ({scene.bvh.n_nodes} fine nodes)")
+    n_bands = height // band_rows
+    log(f"mesh path: pallas MXU-treelet BVH ({scene.bvh.n_nodes} fine nodes), "
+        f"{n_bands} bands of {band_rows} rows")
 
-    fn = jax.jit(lambda seed, f0: integrator.render_wavefront(
-        scene, camera, cfg, seed, f0 * cfg.spp, intersector=inter))
+    fn = jax.jit(lambda y0, f0: integrator.render_wavefront(
+        scene, camera, cfg, 7, f0 * cfg.spp, y0=y0, rows=band_rows,
+        intersector=inter).segments)
     t0 = time.time()
-    out = fn(7, 0)
-    jax.block_until_ready(out)
-    log(f"mesh compile+first: {time.time()-t0:.1f}s; segments={int(out.segments)}")
+    seg0 = int(fn(0, 0))
+    log(f"mesh compile+first band: {time.time()-t0:.1f}s; segs/band={seg0}")
     best = 0.0
     for it in range(outer_iters):
         t0 = time.time()
-        out = fn(7, it + 1)
-        jax.block_until_ready(out)
+        outs = [fn(b * band_rows, it + 1) for b in range(n_bands)]
+        total = sum(int(o) for o in outs)
         dt = time.time() - t0
-        best = max(best, int(out.segments) / dt)
-        log(f"mesh iter {it}: {dt*1000:.0f} ms, {int(out.segments)/dt/1e6:.1f} Mrays/s")
+        best = max(best, total / dt)
+        log(f"mesh iter {it}: {dt*1000:.0f} ms, {total/dt/1e6:.2f} Mrays/s")
     return best
 
 
