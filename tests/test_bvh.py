@@ -98,3 +98,28 @@ def test_mesh_scene_render_matches_oracle():
     img = np.asarray(out.radiance).reshape(cfg.height, cfg.width, 3)
     img_oracle, _ = oracle.render(builder, cam, cfg, 7, frames=1)
     assert_images_close(img, img_oracle, rtol=1e-3, atol=1e-4, frac=0.99)
+
+
+def test_banded_render_bit_identical_to_monolithic():
+    """Band-split rendering (render_wavefront y0/rows) == whole-frame render.
+
+    bench.py renders the 100k-tri benchmark in horizontal bands to keep the
+    wavefront under the tile-padding HBM ceiling (PERF_NOTES.md); RNG streams
+    key on *global* pixel ids, so banding must not change a single bit.
+    """
+    builder = build_cornell_box()
+    v0, v1, v2 = _random_tris(200, seed=5, extent=30.0)
+    off = np.array([0, -20, 0], np.float32)
+    builder.add_triangles(v0 * 0.3 + off, v1 * 0.3 + off, v2 * 0.3 + off, mat=0)
+    scene = builder.compile(bvh_threshold=64)
+    cam = builder.cameras[0]
+    cfg = RenderConfig(width=16, height=12, spp=2, max_depth=3)
+
+    whole = integrator.render_wavefront(scene, cam, cfg, 7, 0)
+    rows = 4
+    bands = [integrator.render_wavefront(scene, cam, cfg, 7, 0,
+                                         y0=y, rows=rows)
+             for y in range(0, cfg.height, rows)]
+    banded = np.concatenate([np.asarray(b.radiance) for b in bands])
+    np.testing.assert_array_equal(np.asarray(whole.radiance), banded)
+    assert int(whole.segments) == sum(int(b.segments) for b in bands)
