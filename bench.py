@@ -147,21 +147,31 @@ def bench_mesh(width=1024, height=1024, spp=4, max_depth=4, band_rows=128,
     camera = builder.cameras[0]
     cfg = RenderConfig(width=width, height=height, spp=spp, max_depth=max_depth)
     inter = make_mesh_intersector(scene)
+    assert height % band_rows == 0, (
+        f"height={height} must be a multiple of band_rows={band_rows} "
+        "(a truncated final band would silently skip rows)")
     n_bands = height // band_rows
     log(f"mesh path: pallas MXU-treelet BVH ({scene.bvh.n_nodes} fine nodes), "
         f"{n_bands} bands of {band_rows} rows")
 
-    fn = jax.jit(lambda y0, f0: integrator.render_wavefront(
-        scene, camera, cfg, 7, f0 * cfg.spp, y0=y0, rows=band_rows,
-        intersector=inter).segments)
+    # Return (segments, radiance sum) so the full image computation stays
+    # live under jit — timing methodology matches a real render, not just
+    # the segment counter (ADVICE r1).
+    def band(y0, f0):
+        out = integrator.render_wavefront(
+            scene, camera, cfg, 7, f0 * cfg.spp, y0=y0, rows=band_rows,
+            intersector=inter)
+        return out.segments, out.radiance.sum()
+
+    fn = jax.jit(band)
     t0 = time.time()
-    seg0 = int(fn(0, 0))
+    seg0 = int(fn(0, 0)[0])
     log(f"mesh compile+first band: {time.time()-t0:.1f}s; segs/band={seg0}")
     best = 0.0
     for it in range(outer_iters):
         t0 = time.time()
         outs = [fn(b * band_rows, it + 1) for b in range(n_bands)]
-        total = sum(int(o) for o in outs)
+        total = sum(int(o[0]) for o in outs)
         dt = time.time() - t0
         best = max(best, total / dt)
         log(f"mesh iter {it}: {dt*1000:.0f} ms, {total/dt/1e6:.2f} Mrays/s")

@@ -6,6 +6,7 @@ current backend so optimization effort goes where the milliseconds are:
   argsort) / sweep (Pallas MXU kernel) / analytic base / full bounce loop.
 """
 
+import os
 import sys
 import time
 
@@ -29,7 +30,7 @@ def timeit(fn, *args, iters=3, warmup=1):
 
 
 def main(width=512, height=512, spp=2):
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from bench import build_mesh_scene
     from fspt_tpu.camera import generate_rays
     from fspt_tpu.config import RenderConfig

@@ -1,5 +1,6 @@
 """Density / block-size sweep for the mesh path (dev tool)."""
 
+import os
 import sys
 import time
 
@@ -11,7 +12,7 @@ def log(*a):
 
 
 def run(width, height, spp, block_rays, sub_bundles, group):
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from bench import build_mesh_scene
     from fspt_tpu.config import RenderConfig
     from fspt_tpu.ops.pallas_bvh import make_mesh_intersector
@@ -21,7 +22,8 @@ def run(width, height, spp, block_rays, sub_bundles, group):
     scene = builder.compile()
     camera = builder.cameras[0]
     cfg = RenderConfig(width=width, height=height, spp=spp, max_depth=4)
-    inter = make_mesh_intersector(scene, block_rays=block_rays)
+    inter = make_mesh_intersector(scene, block_rays=block_rays,
+                                  sub_bundles=sub_bundles, group=group)
     fn = jax.jit(lambda f0: integrator.render_wavefront(
         scene, camera, cfg, 7, f0 * cfg.spp, intersector=inter).segments)
     t0 = time.time()

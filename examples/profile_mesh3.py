@@ -6,6 +6,7 @@ lanes while delivering 1024^2-grade angular ray density per block -- the
 coherence the treelet cull feeds on.
 """
 
+import os
 import sys
 import time
 
@@ -18,7 +19,7 @@ def log(*a):
 
 
 def run(width, height, spp, band_rows, block_rays=128, max_depth=4):
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from bench import build_mesh_scene
     from fspt_tpu.config import RenderConfig
     from fspt_tpu.ops.pallas_bvh import make_mesh_intersector

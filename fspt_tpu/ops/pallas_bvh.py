@@ -263,6 +263,7 @@ def make_bvh_traverser(bvh: FlatBVH, max_leaf: int,
 
 
 def make_mesh_intersector(scene_pack, block_rays: int = 128,
+                          sub_bundles: int = 8, group: int = 8,
                           interpret: bool | None = None, sort: bool = True):
     """Full-scene intersector for BVH scenes: Pallas analytic kernel seeds
     ``t``, the culled MXU treelet kernel refines, triangle shading attributes
@@ -287,7 +288,8 @@ def make_mesh_intersector(scene_pack, block_rays: int = 128,
     v1 = v0 + np.asarray(fine.tri_e1)[order]
     v2 = v0 + np.asarray(fine.tri_e2)[order]
     coarse = build_bvh(v0, v1, v2, max_leaf=TREELET)
-    trav = make_culled_traverser(coarse, block_rays=block_rays, group=8,
+    trav = make_culled_traverser(coarse, block_rays=block_rays,
+                                 sub_bundles=sub_bundles, group=group,
                                  interpret=interpret)
     ts = scene_pack.tri_shade
 
