@@ -410,6 +410,13 @@ class PackedTreelets:
 
         # Flatten for single-row-range dynamic loads: [n_leaves*64, 128].
         self.w_rows = W.reshape(n_leaves * _NF * _NQ, TREELET)
+        # MXU-ready layout: one leaf = 16 rows of (NQ·128) columns, so the
+        # sweep kernel DMAs a (16,512) block it can feed to jnp.dot with no
+        # in-kernel relayout (the (64,128)→(16,512) reshape is a cross-lane
+        # shuffle Mosaic pays for on every leaf visit).
+        self.w_mxu = np.ascontiguousarray(
+            W.transpose(0, 1, 2, 3).reshape(n_leaves, _NF, _NQ * TREELET)
+        ).reshape(n_leaves * _NF, _NQ * TREELET)
         self.area = area
         self.ids = ids
         self.node_f32 = [
@@ -756,9 +763,7 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
         key_s = jnp.where(overlap, jnp.maximum(t_lo, 0.0), big)
         # Block list = union over sub-bundles; entry t = best over bundles.
         key = jnp.min(key_s.reshape(bb, S, n_leaves), axis=1)  # [B,L]
-        counts = jnp.sum(key < big, axis=1, dtype=jnp.int32)
-        b_rows = -(-bb // LANE)
-        counts = jnp.pad(counts, (0, b_rows * LANE - bb)).reshape(b_rows, LANE)
+        counts = jnp.sum(key < big, axis=1, dtype=jnp.int32)[:, None]  # [B,1]
         key = jnp.pad(key, ((0, 0), (0, l_pad - n_leaves)),
                       constant_values=big)
         order = jnp.argsort(key, axis=1).astype(jnp.int32)  # [B,Lp]
@@ -769,22 +774,23 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
         order = jnp.minimum(order, n_leaves - 1)
         return order, tlo_sorted, counts
 
-    def kernel(count_ref, F_ref, list_ref, tlo_ref, w_ref, area_ref,
+    # The per-block leaf list, sorted entry-t, and survivor count live in
+    # SMEM: the sweep loop reads them with plain dynamic scalar indexing on
+    # the scalar core (a few cycles each).  The previous design lane-packed
+    # them in VMEM and decoded each scalar with a dynamic row slice + one-hot
+    # reduction on the VPU — ~9 such reads per group iteration dominated the
+    # whole sweep for incoherent wavefronts (~2 µs/leaf visit measured).
+    def kernel(count_ref, list_ref, tlo_ref, F_ref, w_ref, area_ref,
                out_ref, w_scratch0, w_scratch1, sem0, sem1):
         F = F_ref[:]  # (R,16): [d, o×d, o, 1, t0, pad]
         t_best = F[:, 10:11]  # (R,1)
-        count = _read_scalar(count_ref, pl.program_id(0))
+        count = count_ref[0, 0, 0]
         big = jnp.float32(3.0e38)  # local: kernels may not capture tracers
-        nrw = _NF * _NQ  # weight rows per leaf
+        nrw = _NF  # weight rows per leaf in the (16, NQ·128) MXU layout
 
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-
-        def read_group(ref, gk):
-            """G consecutive scalars starting at slot gk (G | LANE, G | gk)."""
-            row = ref[pl.ds(gk // LANE, 1), :]  # (1,128)
-            lane0 = gk % LANE
-            zero = jnp.zeros_like(row)
-            return [jnp.sum(jnp.where(lane_iota == lane0 + j, row, zero))
+        def read_group(gk):
+            """G consecutive leaf ids starting at slot gk (clamped)."""
+            return [list_ref[0, 0, jnp.minimum(gk + j, l_pad - 1)]
                     for j in range(G)]
 
         def fetch(leaves, buf, sem):
@@ -799,37 +805,37 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
                          lambda: fetch(leaves, w_scratch0, sem0),
                          lambda: fetch(leaves, w_scratch1, sem1))
 
-        def wait_j(buf, sem, j):
-            pltpu.make_async_copy(
-                w_ref.at[pl.ds(0, nrw), :],
-                buf.at[pl.ds(j * nrw, nrw), :],
-                sem.at[j]).wait()
-            return buf[pl.ds(j * nrw, nrw), :]
+        def wait_all(buf, sem):
+            for j in range(G):
+                pltpu.make_async_copy(
+                    w_ref.at[pl.ds(0, nrw), :],
+                    buf.at[pl.ds(j * nrw, nrw), :],
+                    sem.at[j]).wait()
 
-        def wait_par(parity, j):
-            """Wait only leaf j's copy — later copies keep overlapping the
-            earlier leaves' matmuls."""
-            return jax.lax.cond(
-                parity == 0,
-                lambda: wait_j(w_scratch0, sem0, j),
-                lambda: wait_j(w_scratch1, sem1, j))
+        def wait_par(parity):
+            """One branch per group: wait every weight copy of this parity.
+            The next group's DMAs (issued above) still overlap this group's
+            matmuls; intra-group overlap is not worth a cond per leaf."""
+            jax.lax.cond(parity == 0,
+                         lambda: wait_all(w_scratch0, sem0),
+                         lambda: wait_all(w_scratch1, sem1))
 
         # Software pipeline: group k+1's G weight DMAs are in flight while
         # group k's MXU matmuls and hit update run.  The group's leaf ids
         # ride in the loop state so each group is only decoded once.
         zero_i = jnp.zeros((), jnp.int32)
-        leaves0 = read_group(list_ref, zero_i)
+        leaves0 = read_group(zero_i)
         jax.lax.cond(count > 0, lambda: fetch_par(leaves0, zero_i),
                      lambda: None)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (R, G * TREELET), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, TREELET), 1)
         best0 = jnp.full((R, 1), -1, jnp.int32)  # packed leaf*TREELET+j
 
         def cond(state):
             return state[0] < count
 
         def body(state):
-            k, t_best, best, *leaves = state
+            k, vis, t_best, best, *leaves = state
             # Decide continuation BEFORE prefetching: every DMA started here
             # is consumed next iteration (an un-awaited in-flight copy at
             # kernel exit aborts the TPU).  t_blk is therefore one group
@@ -837,25 +843,26 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
             t_blk = jnp.minimum(jnp.max(t_best), 1.0)
             nk = k + G
             idx = jnp.minimum(nk, count - 1)
-            leaves_n = read_group(list_ref, idx)
-            tlo_row = tlo_ref[pl.ds(idx // LANE, 1), :]
-            tlo_next = jnp.sum(jnp.where(lane_iota == idx % LANE, tlo_row,
-                                         jnp.zeros_like(tlo_row)))
+            leaves_n = read_group(idx)
+            tlo_next = tlo_ref[0, 0, idx]
             cont = (nk < count) & (tlo_next <= t_blk)
             parity = (k // G) % 2
             jax.lax.cond(cont, lambda: fetch_par(leaves_n, 1 - parity),
                          lambda: None)
 
-            tcs, packs = [], []
+            wait_par(parity)
             for j in range(G):
-                W = wait_par(parity, j).reshape(_NF, _NQ * TREELET)  # (16,512)
+                # Both parity buffers are read and lane-selected — two VMEM
+                # reads + a select beat a vector-valued cond per leaf.
+                W0 = w_scratch0[pl.ds(j * nrw, nrw), :]
+                W1 = w_scratch1[pl.ds(j * nrw, nrw), :]
+                W = jnp.where(parity == 0, W0, W1)  # (16, NQ·128)
                 out = jnp.dot(F, W, preferred_element_type=jnp.float32,
-                              precision=precision)
-                out = out.reshape(R, _NQ, TREELET)
-                det = out[:, 0, :]
-                u_num = out[:, 1, :]
-                v_num = out[:, 2, :]
-                t_num = out[:, 3, :]
+                              precision=precision)  # (R, NQ·128)
+                det = out[:, 0 * TREELET:1 * TREELET]
+                u_num = out[:, 1 * TREELET:2 * TREELET]
+                v_num = out[:, 2 * TREELET:3 * TREELET]
+                t_num = out[:, 3 * TREELET:4 * TREELET]
                 area = area_ref[pl.ds(leaves[j], 1), :]  # (1,128)
                 np_ = jnp.abs(det) >= vm.EPSILON * area
                 inv = 1.0 / jnp.where(np_, det, 1.0)
@@ -864,50 +871,45 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
                 tc = t_num * inv
                 ok = (np_ & (ub >= 0) & (vb >= 0) & (ub + vb <= 1)
                       & (tc >= 0) & (tc <= 1) & (tc < t_best))
-                tcs.append(jnp.where(ok, tc, big))
-                packs.append(jnp.broadcast_to(
-                    leaves[j] * TREELET
-                    + jax.lax.broadcasted_iota(jnp.int32, (1, TREELET), 1),
-                    (R, TREELET)))
-            tc_all = jnp.concatenate(tcs, axis=1)  # (R, G·128)
-            pack_all = jnp.concatenate(packs, axis=1)
-            t_min = jnp.min(tc_all, axis=1, keepdims=True)  # (R,1)
-            any_hit = t_min < big
-            j_min = jnp.min(jnp.where(tc_all <= t_min, col, G * TREELET),
-                            axis=1, keepdims=True)
-            sel = col == j_min
-            picked = jnp.sum(jnp.where(sel, pack_all, 0), axis=1,
-                             keepdims=True)
-            t_best = jnp.where(any_hit, t_min, t_best)
-            best = jnp.where(any_hit, picked, best)
+                tc_m = jnp.where(ok, tc, big)  # (R,128)
+                t_min = jnp.min(tc_m, axis=1, keepdims=True)  # (R,1)
+                hit_j = t_min < t_best
+                j_min = jnp.min(jnp.where(tc_m <= t_min, col, TREELET),
+                                axis=1, keepdims=True)
+                best = jnp.where(hit_j, leaves[j] * TREELET + j_min, best)
+                t_best = jnp.where(hit_j, t_min, t_best)
 
             # tlo is sorted ascending and t_blk only shrinks: the first
             # too-far group ends the block's sweep.
             k = jnp.where(cont, nk, count)
-            return (k, t_best, best, *leaves_n)
+            return (k, vis + G, t_best, best, *leaves_n)
 
         k0 = jnp.zeros((), jnp.int32)
-        res = jax.lax.while_loop(cond, body, (k0, t_best, best0, *leaves0))
-        _, t_best, best = res[0], res[1], res[2]
+        res = jax.lax.while_loop(cond, body, (k0, k0, t_best, best0, *leaves0))
+        vis, t_best, best = res[1], res[2], res[3]
+        # Column 2 reports leaf visits actually swept (profiling metric).
         out_ref[:] = jnp.concatenate(
             [t_best, pltpu.bitcast(best, jnp.float32),
-             jnp.zeros((R, 2), jnp.float32)], axis=1
+             jnp.full((R, 1), vis, jnp.float32).astype(jnp.float32),
+             jnp.zeros((R, 1), jnp.float32)], axis=1
         )
 
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     fspec = pl.BlockSpec((R, _NF), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    lspec = pl.BlockSpec((l_rows, LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole lane-packed counts
+    lspec = pl.BlockSpec((1, 1, l_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM)
+    cspec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM)
     ospec = pl.BlockSpec((R, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    w_rows = jnp.asarray(packed.w_rows)
+    w_rows = jnp.asarray(packed.w_mxu)
     area = jnp.asarray(packed.area)
     # Triangle lookup for the post-pass: leaf ordinal → first tri slot.
     first_np = f(bvh.first)
     leaf_first = jnp.asarray(first_np[leaf_nodes], jnp.int32)
 
-    def traverse(start, seg, t_init=None):
+    def prepare(start, seg, t_init=None):
+        """Pad to block granularity, run the XLA cull, build ray features."""
         n = start.shape[0]
         n_pad = pl.cdiv(n, R) * R
         n_blocks = n_pad // R
@@ -927,25 +929,33 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
         zeros = jnp.zeros((n_pad, _NF - 11), jnp.float32)
         F = jnp.concatenate([seg_p, c, start_p, ones, t0_p[:, None], zeros],
                             axis=1)
+        return counts, order, tlo_sorted, F
 
-        out = pl.pallas_call(
+    def sweep(counts, order, tlo_sorted, F):
+        """Run the Pallas sweep kernel.  out[:,2] = leaf visits/block."""
+        n_pad = F.shape[0]
+        n_blocks = n_pad // R
+        return pl.pallas_call(
             kernel,
             grid=(n_blocks,),
-            in_specs=[cspec, fspec, lspec, lspec,
+            in_specs=[cspec, lspec, lspec, fspec,
                       pl.BlockSpec(memory_space=pl.ANY), full],
             out_specs=ospec,
             out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((G * _NF * _NQ, TREELET), jnp.float32),
-                pltpu.VMEM((G * _NF * _NQ, TREELET), jnp.float32),
+                pltpu.VMEM((G * _NF, _NQ * TREELET), jnp.float32),
+                pltpu.VMEM((G * _NF, _NQ * TREELET), jnp.float32),
                 pltpu.SemaphoreType.DMA((G,)),
                 pltpu.SemaphoreType.DMA((G,)),
             ],
             interpret=interpret,
-        )(counts, F,
-          order.reshape(n_blocks * l_rows, LANE),
-          tlo_sorted.reshape(n_blocks * l_rows, LANE),
+        )(counts[:, None], order[:, None], tlo_sorted[:, None], F,
           w_rows, area)
+
+    def traverse(start, seg, t_init=None):
+        n = start.shape[0]
+        counts, order, tlo_sorted, F = prepare(start, seg, t_init)
+        out = sweep(counts, order, tlo_sorted, F)
         t_kern = out[:n, 0]
         best = jax.lax.bitcast_convert_type(out[:n, 1], jnp.int32)
 
@@ -970,4 +980,6 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
         tid = jnp.where(hit, bvh.tri_id[slot], -1)
         return t, tid, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
 
+    traverse.prepare = prepare  # stage hooks for profiling (profile_mesh.py)
+    traverse.sweep = sweep
     return traverse
