@@ -745,12 +745,14 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
         a = lbmin[None] - o1[:, None]  # [B·S,L,3]
         b_ = lbmax[None] - o0[:, None]
         crosses = ((d0 <= 0.0) & (d1 >= 0.0))[:, None, :]
-        sd0 = jnp.where(jnp.abs(d0) < 1e-30, 1e-30, d0)[:, None, :]
-        sd1 = jnp.where(jnp.abs(d1) < 1e-30, 1e-30, d1)[:, None, :]
-        lo = jnp.minimum(jnp.minimum(a / sd0, a / sd1),
-                         jnp.minimum(b_ / sd0, b_ / sd1))
-        hi = jnp.maximum(jnp.maximum(a / sd0, a / sd1),
-                         jnp.maximum(b_ / sd0, b_ / sd1))
+        # Reciprocals once per bundle (divides on the [B·S,L,3] lattice cost
+        # ~10x a multiply on the VPU and dominated this stage).
+        r0 = (1.0 / jnp.where(jnp.abs(d0) < 1e-30, 1e-30, d0))[:, None, :]
+        r1 = (1.0 / jnp.where(jnp.abs(d1) < 1e-30, 1e-30, d1))[:, None, :]
+        lo = jnp.minimum(jnp.minimum(a * r0, a * r1),
+                         jnp.minimum(b_ * r0, b_ * r1))
+        hi = jnp.maximum(jnp.maximum(a * r0, a * r1),
+                         jnp.maximum(b_ * r0, b_ * r1))
         lo = jnp.where(crosses, -big, lo)
         hi = jnp.where(crosses, big, hi)
         inside = (b_ >= 0.0) & (a <= 0.0)
@@ -764,14 +766,27 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
         # Block list = union over sub-bundles; entry t = best over bundles.
         key = jnp.min(key_s.reshape(bb, S, n_leaves), axis=1)  # [B,L]
         counts = jnp.sum(key < big, axis=1, dtype=jnp.int32)[:, None]  # [B,1]
-        key = jnp.pad(key, ((0, 0), (0, l_pad - n_leaves)),
-                      constant_values=big)
-        order = jnp.argsort(key, axis=1).astype(jnp.int32)  # [B,Lp]
-        tlo_sorted = jnp.take_along_axis(key, order, axis=1)
+        # Front-to-back ordering via ONE int32 value sort: entry t (∈[0,1],
+        # t_blk is clipped to 1) floor-quantized into the high bits, leaf id
+        # in the low bits.  An argsort would sort a (key, iota) pair and then
+        # gather twice (order, tlo) — 3-4x the memory traffic; this stage was
+        # sort-bound (113 of 128 ms at 8192x1024).  Floor quantization keeps
+        # the early-exit sound: the kernel exits when tlo_next > t_blk, and
+        # quantized-down tlo only delays (never wrongly triggers) the exit.
+        id_bits = max(1, (n_leaves - 1).bit_length())
+        t_scale = jnp.float32((1 << (30 - id_bits)) - 1)
+        t_q = (jnp.minimum(key, 1.0) * t_scale).astype(jnp.int32)
+        leaf_iota = jnp.arange(n_leaves, dtype=jnp.int32)[None, :]
+        pad_key = jnp.int32(0x7FFFFFFF)
+        packed = jnp.where(key < big, (t_q << id_bits) | leaf_iota, pad_key)
+        packed = jnp.pad(packed, ((0, 0), (0, l_pad - n_leaves)),
+                         constant_values=pad_key)
+        packed = jnp.sort(packed, axis=1)  # [B,Lp]
         # Clamp pad entries: the kernel may sweep a couple of slots past
         # count (group granularity) — any in-range leaf is a correct,
         # merely wasteful test; an out-of-range id would be an OOB DMA.
-        order = jnp.minimum(order, n_leaves - 1)
+        order = jnp.minimum(packed & ((1 << id_bits) - 1), n_leaves - 1)
+        tlo_sorted = (packed >> id_bits).astype(jnp.float32) / t_scale
         return order, tlo_sorted, counts
 
     # The per-block leaf list, sorted entry-t, and survivor count live in
