@@ -263,7 +263,7 @@ def make_bvh_traverser(bvh: FlatBVH, max_leaf: int,
 
 
 def make_mesh_intersector(scene_pack, block_rays: int = 128,
-                          sub_bundles: int = 8, group: int = 8,
+                          sub_bundles: int = 128, group: int = 8,
                           interpret: bool | None = None, sort: bool = True):
     """Full-scene intersector for BVH scenes: Pallas analytic kernel seeds
     ``t``, the culled MXU treelet kernel refines, triangle shading attributes
@@ -311,12 +311,30 @@ def make_mesh_intersector(scene_pack, block_rays: int = 128,
         hitbox = (tnear <= tfar) & (tfar > 0.0)
         return jnp.where(hitbox, tfar * 1.0001 + 1e-5, 0.0)
 
+    lo_j = jnp.asarray(mlo, jnp.float32)
+    hi_j = jnp.asarray(mhi, jnp.float32)
+
     def intersect(start, seg, alive=None):
+        # Everything except the block-culled sweep is order-independent
+        # per-lane math, so only the sweep sees the Morton-sorted wavefront
+        # and only its two scalar outputs (t, packed best) get unsorted —
+        # not a 7-field Hit (3 of them [N,3]) as the old sorted wrapper did.
         base = base_fn(start, seg)
         t_init = jnp.minimum(base.t, _box_exit(start, seg))
         if alive is not None:
             t_init = jnp.where(alive, t_init, 0.0)
-        t_tri, tri_id, u, v = trav(start, seg, t_init=t_init)
+        if sort:
+            n = start.shape[0]
+            key = morton_keys(start, seg, alive, lo_j, hi_j)
+            order = jnp.argsort(key)
+            t_kern, packed = trav.raw(start[order], seg[order],
+                                      t_init=t_init[order])
+            inv = jnp.zeros((n,), jnp.int32).at[order].set(
+                jnp.arange(n, dtype=jnp.int32))
+            t_kern, packed = t_kern[inv], packed[inv]
+        else:
+            t_kern, packed = trav.raw(start, seg, t_init=t_init)
+        t_tri, tri_id, u, v = trav.post(start, seg, t_kern, packed)
         tri_hit = tri_id >= 0
         tid = jnp.maximum(tri_id, 0)
         n0, n1, n2 = ts.n0[tid], ts.n1[tid], ts.n2[tid]
@@ -335,12 +353,8 @@ def make_mesh_intersector(scene_pack, block_rays: int = 128,
             hit=base.hit | tri_hit,
         )
 
-    if not sort:
-        intersect.accepts_alive = True
-        return intersect
-    lo = np.minimum(v0, np.minimum(v1, v2)).min(axis=0)
-    hi = np.maximum(v0, np.maximum(v1, v2)).max(axis=0)
-    return make_sorted_intersector(intersect, lo, hi)
+    intersect.accepts_alive = True
+    return intersect
 
 
 # ---------------------------------------------------------------------------
@@ -696,7 +710,7 @@ GROUP = 4  # treelets swept per kernel iteration (amortizes fixed costs)
 
 
 def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
-                          sub_bundles: int = 8, group: int = GROUP,
+                          sub_bundles: int = 128, group: int = GROUP,
                           precision=jax.lax.Precision.HIGHEST,
                           interpret: bool | None = None):
     """Compile ``fn(start[N,3], seg[N,3], t_init[N]) → (t, tri_id, u, v)``.
@@ -730,41 +744,61 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
     def cull(start_b, seg_b, t0_b):
         """[B,R,3]×2, [B,R] → sorted leaf ids [B,Lp], entry t [B,Lp], counts [B,1]."""
         bb = start_b.shape[0]
-        sb = start_b.reshape(bb * S, R // S, 3)
-        gb = seg_b.reshape(bb * S, R // S, 3)
-        tb = t0_b.reshape(bb * S, R // S)
-        valid = tb > 0.0
-        vmask = valid[..., None]
-        o0 = jnp.min(jnp.where(vmask, sb, big), axis=1)  # [B·S,3]
-        o1 = jnp.max(jnp.where(vmask, sb, -big), axis=1)
-        d0 = jnp.min(jnp.where(vmask, gb, big), axis=1)
-        d1 = jnp.max(jnp.where(vmask, gb, -big), axis=1)
-        t_blk = jnp.minimum(jnp.max(tb, axis=1), 1.0)  # [B·S]
-        any_valid = jnp.any(valid, axis=1)
+        if S == R:
+            # Per-ray granularity: the interval frustum degenerates to an
+            # EXACT ray/AABB slab test with the ray's own t limit — the
+            # tightest possible block list for this blocking, at half the
+            # flops of the generic interval form.
+            sb = start_b.reshape(bb * R, 3)
+            gb = seg_b.reshape(bb * R, 3)
+            tb = t0_b.reshape(bb * R)
+            r = 1.0 / jnp.where(jnp.abs(gb) < 1e-30,
+                                jnp.where(gb >= 0, 1e-30, -1e-30), gb)
+            ta = (lbmin[None] - sb[:, None]) * r[:, None]  # [B·R,L,3]
+            tbx = (lbmax[None] - sb[:, None]) * r[:, None]
+            t_lo = jnp.max(jnp.minimum(ta, tbx), axis=-1)  # [B·R,L]
+            t_hi = jnp.min(jnp.maximum(ta, tbx), axis=-1)
+            overlap = ((t_lo <= t_hi) & (t_hi >= 0.0)
+                       & (t_lo <= jnp.minimum(tb, 1.0)[:, None])
+                       & (tb > 0.0)[:, None])
+            key_s = jnp.where(overlap, jnp.maximum(t_lo, 0.0), big)
+            key = jnp.min(key_s.reshape(bb, R, n_leaves), axis=1)  # [B,L]
+        else:
+            sb = start_b.reshape(bb * S, R // S, 3)
+            gb = seg_b.reshape(bb * S, R // S, 3)
+            tb = t0_b.reshape(bb * S, R // S)
+            valid = tb > 0.0
+            vmask = valid[..., None]
+            o0 = jnp.min(jnp.where(vmask, sb, big), axis=1)  # [B·S,3]
+            o1 = jnp.max(jnp.where(vmask, sb, -big), axis=1)
+            d0 = jnp.min(jnp.where(vmask, gb, big), axis=1)
+            d1 = jnp.max(jnp.where(vmask, gb, -big), axis=1)
+            t_blk = jnp.minimum(jnp.max(tb, axis=1), 1.0)  # [B·S]
+            any_valid = jnp.any(valid, axis=1)
 
-        a = lbmin[None] - o1[:, None]  # [B·S,L,3]
-        b_ = lbmax[None] - o0[:, None]
-        crosses = ((d0 <= 0.0) & (d1 >= 0.0))[:, None, :]
-        # Reciprocals once per bundle (divides on the [B·S,L,3] lattice cost
-        # ~10x a multiply on the VPU and dominated this stage).
-        r0 = (1.0 / jnp.where(jnp.abs(d0) < 1e-30, 1e-30, d0))[:, None, :]
-        r1 = (1.0 / jnp.where(jnp.abs(d1) < 1e-30, 1e-30, d1))[:, None, :]
-        lo = jnp.minimum(jnp.minimum(a * r0, a * r1),
-                         jnp.minimum(b_ * r0, b_ * r1))
-        hi = jnp.maximum(jnp.maximum(a * r0, a * r1),
-                         jnp.maximum(b_ * r0, b_ * r1))
-        lo = jnp.where(crosses, -big, lo)
-        hi = jnp.where(crosses, big, hi)
-        inside = (b_ >= 0.0) & (a <= 0.0)
-        lo = jnp.where(inside, jnp.minimum(lo, 0.0), lo)
-        hi = jnp.where(inside, jnp.maximum(hi, 0.0), hi)
-        t_lo = jnp.max(lo, axis=-1)  # [B·S,L]
-        t_hi = jnp.min(hi, axis=-1)
-        overlap = ((t_lo <= t_hi) & (t_hi >= 0.0)
-                   & (t_lo <= t_blk[:, None]) & any_valid[:, None])
-        key_s = jnp.where(overlap, jnp.maximum(t_lo, 0.0), big)
-        # Block list = union over sub-bundles; entry t = best over bundles.
-        key = jnp.min(key_s.reshape(bb, S, n_leaves), axis=1)  # [B,L]
+            a = lbmin[None] - o1[:, None]  # [B·S,L,3]
+            b_ = lbmax[None] - o0[:, None]
+            crosses = ((d0 <= 0.0) & (d1 >= 0.0))[:, None, :]
+            # Reciprocals once per bundle (divides on the [B·S,L,3] lattice
+            # cost ~10x a multiply on the VPU and dominated this stage).
+            r0 = (1.0 / jnp.where(jnp.abs(d0) < 1e-30, 1e-30, d0))[:, None, :]
+            r1 = (1.0 / jnp.where(jnp.abs(d1) < 1e-30, 1e-30, d1))[:, None, :]
+            lo = jnp.minimum(jnp.minimum(a * r0, a * r1),
+                             jnp.minimum(b_ * r0, b_ * r1))
+            hi = jnp.maximum(jnp.maximum(a * r0, a * r1),
+                             jnp.maximum(b_ * r0, b_ * r1))
+            lo = jnp.where(crosses, -big, lo)
+            hi = jnp.where(crosses, big, hi)
+            inside = (b_ >= 0.0) & (a <= 0.0)
+            lo = jnp.where(inside, jnp.minimum(lo, 0.0), lo)
+            hi = jnp.where(inside, jnp.maximum(hi, 0.0), hi)
+            t_lo = jnp.max(lo, axis=-1)  # [B·S,L]
+            t_hi = jnp.min(hi, axis=-1)
+            overlap = ((t_lo <= t_hi) & (t_hi >= 0.0)
+                       & (t_lo <= t_blk[:, None]) & any_valid[:, None])
+            key_s = jnp.where(overlap, jnp.maximum(t_lo, 0.0), big)
+            # Block list = union over sub-bundles; entry t = best per bundle.
+            key = jnp.min(key_s.reshape(bb, S, n_leaves), axis=1)  # [B,L]
         counts = jnp.sum(key < big, axis=1, dtype=jnp.int32)[:, None]  # [B,1]
         # Front-to-back ordering via ONE int32 value sort: entry t (∈[0,1],
         # t_blk is clipped to 1) floor-quantized into the high bits, leaf id
@@ -967,16 +1001,24 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
         )(counts[:, None], order[:, None], tlo_sorted[:, None], F,
           w_rows, area)
 
-    def traverse(start, seg, t_init=None):
+    def raw(start, seg, t_init=None):
+        """Sweep only → ``(t_kern, best)`` with best = packed leaf·128+slot.
+
+        ``t_kern`` carries the (matmul-precision) winning t; ``best`` < 0 on
+        miss.  Use :func:`post` to recover exact t/u/v and the original
+        triangle id — callers that reorder rays (make_mesh_intersector's
+        Morton sort) unsort these two scalars instead of a full Hit."""
         n = start.shape[0]
         counts, order, tlo_sorted, F = prepare(start, seg, t_init)
         out = sweep(counts, order, tlo_sorted, F)
         t_kern = out[:n, 0]
         best = jax.lax.bitcast_convert_type(out[:n, 1], jnp.int32)
+        return t_kern, best
 
-        # Post-pass (XLA): the sweep only tracks (t, packed best index) —
-        # recompute u, v, t and the original triangle id for the single
-        # winning triangle per ray with one gather + Möller–Trumbore.
+    def post(start, seg, t_kern, best):
+        """Exact-recompute post-pass (XLA): the sweep only tracks (t,
+        packed best index) — recompute u, v, t and the original triangle id
+        for the single winning triangle per ray (one gather + MT)."""
         hit = best >= 0
         leaf = jnp.maximum(best, 0) // TREELET
         slot = leaf_first[leaf] + jnp.maximum(best, 0) % TREELET
@@ -995,6 +1037,12 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
         tid = jnp.where(hit, bvh.tri_id[slot], -1)
         return t, tid, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
 
+    def traverse(start, seg, t_init=None):
+        t_kern, best = raw(start, seg, t_init)
+        return post(start, seg, t_kern, best)
+
     traverse.prepare = prepare  # stage hooks for profiling (profile_mesh.py)
     traverse.sweep = sweep
+    traverse.raw = raw
+    traverse.post = post
     return traverse
