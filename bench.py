@@ -129,15 +129,14 @@ def build_mesh_scene(grid=224):
     return b
 
 
-def bench_mesh(width=1024, height=1024, spp=4, max_depth=4, band_rows=128,
+def bench_mesh(width=1024, height=1024, spp=4, max_depth=4, band_rows=256,
                outer_iters=2):
     """100k-tri BVH-path benchmark (BASELINE config 3: 4 bounces, DoF).
 
     The frame renders in horizontal bands (render_wavefront y0/rows): ray
     density per treelet-cull block grows with image resolution — the cull
-    feeds on angular coherence — while the wavefront stays ≤512k lanes,
-    below the [N,k]-tile-padding HBM ceiling (PERF_NOTES.md).  Banding
-    1024²×4spp measures 2× the monolithic 512²×2spp wavefront."""
+    feeds on angular coherence — while the wavefront stays ≤~1M lanes,
+    below the [N,k]-tile-padding HBM ceiling (PERF_NOTES.md)."""
     from fspt_tpu.config import RenderConfig
     from fspt_tpu.ops.pallas_bvh import make_mesh_intersector
     from fspt_tpu.render import integrator
