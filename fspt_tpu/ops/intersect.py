@@ -51,6 +51,10 @@ class Hit(NamedTuple):
     # nearest edge (+inf for non-triangles); differentiable w.r.t. vertices.
     # Drives the edge-reparameterized silhouette gradients (integrator).
     edge_dist: jnp.ndarray | None = None
+    # Winning triangle's original index (−1 for analytic prims / misses).
+    # Set by the BVH mesh path; lets hit-id replay (ops/diff_intersect.py)
+    # re-derive the hit differentiably from traced vertex arrays.
+    prim_id: jnp.ndarray | None = None
 
 
 # Primitive kind codes (argmin tie order = this order).

@@ -351,6 +351,7 @@ def make_mesh_intersector(scene_pack, block_rays: int = 128,
             mat=jnp.where(tri_hit, ts.mat[tid], base.mat),
             prim_kind=jnp.where(tri_hit, KIND_TRIANGLE, base.prim_kind),
             hit=base.hit | tri_hit,
+            prim_id=tri_id,
         )
 
     intersect.accepts_alive = True

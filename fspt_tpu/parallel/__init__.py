@@ -12,6 +12,7 @@ from fspt_tpu.parallel.mesh import make_mesh, mesh_devices
 from fspt_tpu.parallel.render import make_sharded_render_step, sharded_framebuffer
 from fspt_tpu.parallel.train import (
     apply_vertices,
+    make_bvh_vertex_recovery_step,
     make_recovery_step,
     make_vertex_recovery_step,
 )
@@ -23,5 +24,6 @@ __all__ = [
     "sharded_framebuffer",
     "make_recovery_step",
     "make_vertex_recovery_step",
+    "make_bvh_vertex_recovery_step",
     "apply_vertices",
 ]

@@ -39,10 +39,12 @@ def apply_vertices(scene, params):
     return scene._replace(geometry=g)
 
 
-def render_image_rows(scene, camera, cfg: RenderConfig, seed, frame_idx, y0, rows):
+def render_image_rows(scene, camera, cfg: RenderConfig, seed, frame_idx, y0,
+                      rows, intersector=None):
     """Differentiable mean-radiance image for a scanline band [rows,W,3]."""
     out = integrator.render_wavefront(
-        scene, camera, cfg, seed, frame_idx * cfg.spp, y0=y0, rows=rows
+        scene, camera, cfg, seed, frame_idx * cfg.spp, y0=y0, rows=rows,
+        intersector=intersector
     )
     return out.radiance.reshape(rows, cfg.width, cfg.spp, 3).mean(axis=2)
 
@@ -60,7 +62,8 @@ DEFAULT_CONSTRAINTS = {
 
 def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissive"),
                        lr: float = 0.5, optimizer=None, constraints=None,
-                       apply_fn=_apply_params, pool: int = 8):
+                       apply_fn=_apply_params, pool: int = 8,
+                       intersector_bind=None):
     """Build a jitted sharded optimizer step on the named material-table columns.
 
     Returns ``step(params, scene, camera, target, seed, frame_idx) ->
@@ -101,10 +104,11 @@ def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissiv
         #    shrinks every noise projection by p² while global material
         #    parameters lose no constraints.
         scene = apply_fn(scene, params)
+        inter = None if intersector_bind is None else intersector_bind(params)
         img_a = render_image_rows(scene, camera, cfg, seed, frame_idx, y0,
-                                  rows_local)
+                                  rows_local, intersector=inter)
         img_b = render_image_rows(scene, camera, cfg, seed, frame_idx + 10007,
-                                  y0, rows_local)
+                                  y0, rows_local, intersector=inter)
         da = _pool(img_a - target_local, pool)
         db = _pool(img_b - target_local, pool)
         return jnp.mean(da * db)
@@ -165,3 +169,45 @@ def make_vertex_recovery_step(mesh, cfg: RenderConfig, lr: float = 0.05,
     return make_recovery_step(mesh, cfg, lr=lr, optimizer=optimizer,
                               constraints={}, apply_fn=apply_vertices,
                               pool=pool)
+
+
+def make_bvh_vertex_recovery_step(mesh, cfg: RenderConfig, scene,
+                                  lr: float = 0.05, optimizer=None,
+                                  pool: int = 1, shade_normals="flat",
+                                  **fast_kwargs):
+    """Vertex recovery on a BVH-scale scene (100k+ triangles) by hit-id
+    replay (ops/diff_intersect.py): the culled-treelet Pallas sweep finds
+    winners under stop_gradient, an XLA replay differentiates t/normal/uv
+    w.r.t. the traced vertices, and the brute-force O(N·T) differentiable
+    path is never built.
+
+    ``params`` is ``{"v0": [T,3], "v1": [T,3], "v2": [T,3]}`` in original
+    triangle order (start from ops/diff_intersect.tris_from_scene).  The
+    BVH itself stays baked to the scene's build-time vertices: hits remain
+    exact while perturbed triangles stay inside their (slightly stale)
+    treelet bounds — rebuild the scene to refit after large moves.
+
+    ``shade_normals="flat"`` re-derives geometric normals from the traced
+    vertices so lighting follows the surface; "fixed" keeps the baked
+    shading normals.
+    """
+    from fspt_tpu.ops.diff_intersect import (flat_normals,
+                                             make_diff_mesh_intersector,
+                                             tris_from_scene)
+
+    diff = make_diff_mesh_intersector(scene, **fast_kwargs)
+    if diff is None:
+        raise ValueError("scene has no BVH; use make_vertex_recovery_step")
+    baked = tris_from_scene(scene)
+
+    def bind(params):
+        tr = dict(baked)
+        tr.update({k: params[k] for k in ("v0", "v1", "v2")})
+        if shade_normals == "flat":
+            n = flat_normals(tr["v0"], tr["v1"], tr["v2"])
+            tr["n0"] = tr["n1"] = tr["n2"] = n
+        return diff.bind(tr)
+
+    return make_recovery_step(mesh, cfg, lr=lr, optimizer=optimizer,
+                              constraints={}, apply_fn=lambda s, p: s,
+                              pool=pool, intersector_bind=bind)
