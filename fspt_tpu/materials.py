@@ -105,22 +105,77 @@ class ShadeResult(NamedTuple):
     fog_density: jnp.ndarray  # [N]
 
 
-def sample_texture(tex: TexturePack, tex_id, tex_scale, texcoords, fallback):
-    """Tiled nearest-neighbor texture fetch; reference material.cpp:107-127.
+class ShadeResultP(NamedTuple):
+    """Component-planar :class:`ShadeResult` — every vector is three [N]
+    planes so nothing materializes [N,3] (42× HBM padding; vecmath planar
+    section).  Produced by :func:`shade_planar`; the hot integrator consumes
+    this form directly."""
+
+    dx: jnp.ndarray
+    dy: jnp.ndarray
+    dz: jnp.ndarray  # direction
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    cz: jnp.ndarray  # coef (rgb)
+    bx: jnp.ndarray
+    by: jnp.ndarray
+    bz: jnp.ndarray  # bias (rgb)
+    will_indirect: jnp.ndarray  # [N] bool
+    is_light: jnp.ndarray  # [N] bool
+    is_fog: jnp.ndarray  # [N] bool
+    fdx: jnp.ndarray
+    fdy: jnp.ndarray
+    fdz: jnp.ndarray  # fog diffuse (rgb)
+    fog_density: jnp.ndarray  # [N]
+
+
+def sample_texture_p(tex: TexturePack, tex_id, tex_scale, tu, tv,
+                     fbx, fby, fbz):
+    """Planar tiled nearest-neighbor texture fetch (material.cpp:107-127).
 
     ``x = uint32(u·scale·w + 0.5 − 1) mod w`` (floored mod keeps it in-range
-    where the reference's negative-float→uint32 cast is UB).
+    where the reference's negative-float→uint32 cast is UB).  Texcoords and
+    the fallback color arrive as separate planes; texels gather per channel
+    so no [N,3] intermediate materializes.
     """
     safe_id = jnp.maximum(tex_id, 0)
     w = tex.width[safe_id]
     h = tex.height[safe_id]
-    xf = texcoords[..., 0] * tex_scale * w.astype(jnp.float32) + 0.5 - 1.0
-    yf = texcoords[..., 1] * tex_scale * h.astype(jnp.float32) + 0.5 - 1.0
+    xf = tu * tex_scale * w.astype(jnp.float32) + 0.5 - 1.0
+    yf = tv * tex_scale * h.astype(jnp.float32) + 0.5 - 1.0
     xi = jnp.mod(xf.astype(jnp.int32), w)
     yi = jnp.mod(yf.astype(jnp.int32), h)
-    idx = tex.offset[safe_id] + yi * w + xi
-    texel = tex.texels[jnp.clip(idx, 0, tex.texels.shape[0] - 1)]
-    return jnp.where((tex_id >= 0)[..., None], texel, fallback)
+    idx = jnp.clip(tex.offset[safe_id] + yi * w + xi,
+                   0, tex.texels.shape[0] - 1)
+    has = tex_id >= 0
+    return (jnp.where(has, tex.texels[:, 0][idx], fbx),
+            jnp.where(has, tex.texels[:, 1][idx], fby),
+            jnp.where(has, tex.texels[:, 2][idx], fbz))
+
+
+def sample_texture(tex: TexturePack, tex_id, tex_scale, texcoords, fallback):
+    """[N,3]-interface wrapper over :func:`sample_texture_p`."""
+    r, g, b = sample_texture_p(
+        tex, tex_id, tex_scale, texcoords[..., 0], texcoords[..., 1],
+        fallback[..., 0], fallback[..., 1], fallback[..., 2])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def sample_sky_p(table: MaterialTable, tex: TexturePack, sky_mat,
+                 vx, vy, vz):
+    """Planar sky radiance for a miss; reference scene.cpp:157-162 (×3).
+
+    ``(vx, vy, vz)`` must be normalized (engine.cpp:92-93).
+    """
+    tu, tv = vm.sphere_map_texcoords_p(vx, vy, vz)
+    ex = table.emissive[sky_mat, 0]
+    ey = table.emissive[sky_mat, 1]
+    ez = table.emissive[sky_mat, 2]
+    r, g, b = sample_texture_p(
+        tex, table.tex_id[sky_mat], table.tex_scale[sky_mat], tu, tv,
+        jnp.broadcast_to(ex, vx.shape), jnp.broadcast_to(ey, vx.shape),
+        jnp.broadcast_to(ez, vx.shape))
+    return r * 3.0, g * 3.0, b * 3.0
 
 
 def sample_sky(table: MaterialTable, tex: TexturePack, sky_mat, view_dir):
@@ -128,38 +183,202 @@ def sample_sky(table: MaterialTable, tex: TexturePack, sky_mat, view_dir):
 
     ``view_dir`` must be normalized (engine.cpp:92-93).
     """
-    texcoords = vm.sphere_map_texcoords(view_dir)
-    emissive = table.emissive[sky_mat]
-    value = sample_texture(
-        tex, table.tex_id[sky_mat], table.tex_scale[sky_mat], texcoords, emissive
-    )
-    return value * 3.0
+    r, g, b = sample_sky_p(table, tex, sky_mat, view_dir[..., 0],
+                           view_dir[..., 1], view_dir[..., 2])
+    return jnp.stack([r, g, b], axis=-1)
 
 
-def _lerped_reflection(hemi_dir, reflect_dir, amount, normal):
+def _lerped_reflection_p(hx, hy, hz, rx, ry, rz, amount, nx, ny, nz):
     """normal_sphere::random_reflection (reference math/normal.cpp:36-62).
 
     Lerp a hemisphere-uniform direction with the mirror direction by
     ``amount = solid_angle/π`` and flip the result into the normal hemisphere.
     """
-    r = vm.normalize(hemi_dir * amount[..., None] + reflect_dir * (1.0 - amount)[..., None])
-    return jnp.where(vm.dot(r, normal)[..., None] < 0.0, -r, r)
+    inv = 1.0 - amount
+    ox, oy, oz = vm.normalize_p(hx * amount + rx * inv,
+                                hy * amount + ry * inv,
+                                hz * amount + rz * inv)
+    flip = vm.dot_p(ox, oy, oz, nx, ny, nz) < 0.0
+    return (jnp.where(flip, -ox, ox), jnp.where(flip, -oy, oy),
+            jnp.where(flip, -oz, oz))
 
 
-def _random_refraction(view, normal, hemi_dir, solid_angle, index, u_aux):
+def _random_refraction_p(vx, vy, vz, nx, ny, nz, hx, hy, hz,
+                         solid_angle, index, u_aux):
     """normal_sphere::random_refraction (reference math/normal.cpp:64-105)."""
     straight = jnp.abs(index - 1.0) < vm.EPSILON
-    refr = vm.refract(view, normal, index)
-    refr = jnp.where(straight[..., None], view, refr)
-    refr = vm.normalize(refr)
+    fx, fy, fz = vm.refract_p(vx, vy, vz, nx, ny, nz, index)
+    fx = jnp.where(straight, vx, fx)
+    fy = jnp.where(straight, vy, fy)
+    fz = jnp.where(straight, vz, fz)
+    fx, fy, fz = vm.normalize_p(fx, fy, fz)
 
     delta = (u_aux * 2.0 - 1.0) * (solid_angle * 0.5)
-    rotated = vm.rotate(refr, delta, hemi_dir)
+    ox, oy, oz = vm.rotate_p(fx, fy, fz, delta, hx, hy, hz)
 
     full_diffuse = jnp.abs(solid_angle - vm.PI) < vm.EPSILON
     no_spread = jnp.abs(solid_angle) < vm.EPSILON
-    out = jnp.where(no_spread[..., None], refr, rotated)
-    return jnp.where(full_diffuse[..., None], hemi_dir, out)
+    ox = jnp.where(no_spread, fx, ox)
+    oy = jnp.where(no_spread, fy, oy)
+    oz = jnp.where(no_spread, fz, oz)
+    return (jnp.where(full_diffuse, hx, ox), jnp.where(full_diffuse, hy, oy),
+            jnp.where(full_diffuse, hz, oz))
+
+
+def shade_planar(
+    table: MaterialTable,
+    tex: TexturePack,
+    mat_idx,
+    view,
+    normal,
+    texcoords,
+    uniforms,
+) -> ShadeResultP:
+    """Sample one bounce direction and the affine radiance transfer.
+
+    The component-planar hot path: every vector argument/result is a tuple
+    of [N] planes, every table column gathers separately, and nothing
+    materializes an [N,3] (see the vecmath planar section for why).
+
+    Args:
+      mat_idx: [N] material row per lane.
+      view: (vx,vy,vz) normalized view vector (hit − ray start; engine.cpp:114).
+      normal: (nx,ny,nz) surface normal *after* the internal flip
+        (scene.cpp:238-247).
+      texcoords: (tu,tv) surface texcoords.
+      uniforms: (choice, dir_a, dir_b, aux) per-bounce stream draws.
+    """
+    vx, vy, vz = view
+    nx, ny, nz = normal
+    tu, tv = texcoords
+    u_choice, u_a, u_b, u_aux = uniforms
+
+    mtype = table.mtype[mat_idx]
+    dfx = table.diffuse[:, 0][mat_idx]
+    dfy = table.diffuse[:, 1][mat_idx]
+    dfz = table.diffuse[:, 2][mat_idx]
+    emx = table.emissive[:, 0][mat_idx]
+    emy = table.emissive[:, 1][mat_idx]
+    emz = table.emissive[:, 2][mat_idx]
+    glx = table.glow[:, 0][mat_idx]
+    gly = table.glow[:, 1][mat_idx]
+    glz = table.glow[:, 2][mat_idx]
+    param = table.param[mat_idx]
+    ior = table.ior[mat_idx]
+    reflectivity = table.reflectivity[mat_idx]
+    frost = table.frost[mat_idx]
+    tex_id = table.tex_id[mat_idx]
+    tex_scale = table.tex_scale[mat_idx]
+
+    is_ = lambda t: mtype == t
+
+    # --- bounce direction -------------------------------------------------
+    rfx, rfy, rfz = vm.reflect_p(vx, vy, vz, nx, ny, nz)
+    spx, spy, spz = vm.uniform_sphere_dir_p(u_a, u_b)
+    hflip = vm.dot_p(spx, spy, spz, nx, ny, nz) < 0.0
+    hx = jnp.where(hflip, -spx, spx)
+    hy = jnp.where(hflip, -spy, spy)
+    hz = jnp.where(hflip, -spz, spz)
+
+    # Lobe width (solid_angle/π) for the lerped-reflection family.
+    lobe = jnp.where(is_(DIFFUSE), 1.0, 0.0)
+    lobe = jnp.where(is_(METAL), param, lobe)
+    ceramic_lobe = jnp.where(u_choice < CERAMIC_SPIKE_PROB, 0.0, 1.0 - param)
+    lobe = jnp.where(is_(CERAMIC) | is_(GLOW), ceramic_lobe, lobe)
+    glass_reflecting = u_choice < reflectivity
+    lobe = jnp.where(is_(GLASS), frost, lobe)
+    lpx, lpy, lpz = _lerped_reflection_p(hx, hy, hz, rfx, rfy, rfz, lobe,
+                                         nx, ny, nz)
+
+    gfx, gfy, gfz = _random_refraction_p(vx, vy, vz, nx, ny, nz, hx, hy, hz,
+                                         vm.PI * frost, ior, u_aux)
+    gdx = jnp.where(glass_reflecting, lpx, gfx)
+    gdy = jnp.where(glass_reflecting, lpy, gfy)
+    gdz = jnp.where(glass_reflecting, lpz, gfz)
+
+    lqx, lqy, lqz = vm.refract_p(vx, vy, vz, nx, ny, nz, ior)
+    ldx = jnp.where(glass_reflecting, rfx, lqx)
+    ldy = jnp.where(glass_reflecting, rfy, lqy)
+    ldz = jnp.where(glass_reflecting, rfz, lqz)
+
+    def _dir(mirror, glass, liquid, fog, base_x, base_y, base_z):
+        dx = jnp.where(mirror, rfx, base_x)
+        dy = jnp.where(mirror, rfy, base_y)
+        dz = jnp.where(mirror, rfz, base_z)
+        dx = jnp.where(glass, gdx, dx)
+        dy = jnp.where(glass, gdy, dy)
+        dz = jnp.where(glass, gdz, dz)
+        dx = jnp.where(liquid, ldx, dx)
+        dy = jnp.where(liquid, ldy, dy)
+        dz = jnp.where(liquid, ldz, dz)
+        dx = jnp.where(fog, vx, dx)
+        dy = jnp.where(fog, vy, dy)
+        dz = jnp.where(fog, vz, dz)
+        return dx, dy, dz
+
+    dx, dy, dz = _dir(is_(MIRROR), is_(GLASS), is_(LIQUID), is_(FOG),
+                      lpx, lpy, lpz)
+    zero = jnp.zeros_like(dx)
+    light = is_(LIGHT)
+    dx = jnp.where(light, zero, dx)
+    dy = jnp.where(light, zero, dy)
+    dz = jnp.where(light, zero, dz)
+
+    # --- continuation predicate (WillUseIndirectLight) --------------------
+    n_dot_l = vm.dot_p(nx, ny, nz, dx, dy, dz)
+    will = jnp.ones_like(u_choice, dtype=bool)
+    will = jnp.where(light, False, will)
+    will = jnp.where(is_(DIFFUSE), n_dot_l > DIFFUSE_CONTRIB_THRESHOLD, will)
+    metal_will = (param <= DIFFUSE_ROUGHNESS_THRESHOLD) | (n_dot_l > DIFFUSE_CONTRIB_THRESHOLD)
+    will = jnp.where(is_(METAL), metal_will, will)
+
+    # --- affine radiance transfer: Sample(L) = coef·L + bias --------------
+    txx, txy, txz = sample_texture_p(tex, tex_id, tex_scale, tu, tv,
+                                     dfx, dfy, dfz)
+    ndl = jnp.maximum(n_dot_l, 0.0)
+
+    hvx, hvy, hvz = vm.normalize_p(-vx + dx, -vy + dy, -vz + dz)
+    hn = vm.dot_p(hvx, hvy, hvz, nx, ny, nz)
+    # pow(h·n, 50) with an even integer exponent is positive for negative
+    # bases in C++ (material.cpp:280); (hn²)^25 reproduces that exactly.
+    spec = jnp.power(hn * hn, CERAMIC_SPEC_POWER // 2)
+
+    is_metal = is_(METAL)
+    is_spec_tint = is_(MIRROR) | is_(GLASS) | is_(LIQUID)
+    is_ceramic = is_(CERAMIC) | is_(GLOW)
+    is_fog = is_(FOG)
+    metal_mix = param * ndl + (1.0 - param)
+    one = jnp.ones_like(ndl)
+
+    def _coef(tx, df):
+        c = tx * ndl  # DIFFUSE
+        c = jnp.where(light, 0.0, c)
+        c = jnp.where(is_metal, tx * metal_mix, c)
+        c = jnp.where(is_spec_tint, df, c)
+        c = jnp.where(is_ceramic, spec + tx * ndl * (1.0 - spec), c)
+        return jnp.where(is_fog, one, c)
+
+    cx, cy, cz = _coef(txx, dfx), _coef(txy, dfy), _coef(txz, dfz)
+
+    lbx, lby, lbz = sample_texture_p(tex, tex_id, tex_scale, tu, tv,
+                                     emx, emy, emz)
+    is_glow = is_(GLOW)
+
+    def _bias(lb, gl):
+        return jnp.where(is_glow, gl, jnp.where(light, lb, 0.0))
+
+    bx, by, bz = _bias(lbx, glx), _bias(lby, gly), _bias(lbz, glz)
+
+    return ShadeResultP(
+        dx=dx, dy=dy, dz=dz,
+        cx=cx, cy=cy, cz=cz,
+        bx=bx, by=by, bz=bz,
+        will_indirect=will,
+        is_light=light,
+        is_fog=is_fog,
+        fdx=dfx, fdy=dfy, fdz=dfz,
+        fog_density=frost,
+    )
 
 
 def shade(
@@ -171,7 +390,8 @@ def shade(
     texcoords,
     uniforms,
 ) -> ShadeResult:
-    """Sample one bounce direction and the affine radiance transfer.
+    """[N,3]-interface wrapper over :func:`shade_planar` (one logic
+    implementation; the planar form is the hot path).
 
     Args:
       mat_idx: [N] material row per lane.
@@ -180,91 +400,24 @@ def shade(
       texcoords: [N,2] surface texcoords.
       uniforms: [N,4] per-bounce stream draws (choice, dir_a, dir_b, aux).
     """
-    mtype = table.mtype[mat_idx]
-    diffuse = table.diffuse[mat_idx]
-    emissive = table.emissive[mat_idx]
-    glow = table.glow[mat_idx]
-    param = table.param[mat_idx]
-    ior = table.ior[mat_idx]
-    reflectivity = table.reflectivity[mat_idx]
-    frost = table.frost[mat_idx]
-    tex_id = table.tex_id[mat_idx]
-    tex_scale = table.tex_scale[mat_idx]
-
-    u_choice = uniforms[..., 0]
-    u_a = uniforms[..., 1]
-    u_b = uniforms[..., 2]
-    u_aux = uniforms[..., 3]
-
-    is_ = lambda t: mtype == t
-
-    # --- bounce direction -------------------------------------------------
-    reflect_dir = vm.reflect(view, normal)
-    sphere_dir = vm.uniform_sphere_dir(u_a, u_b)
-    hemi_dir = jnp.where(vm.dot(sphere_dir, normal)[..., None] < 0.0, -sphere_dir, sphere_dir)
-
-    # Lobe width (solid_angle/π) for the lerped-reflection family.
-    lobe = jnp.where(is_(DIFFUSE), 1.0, 0.0)
-    lobe = jnp.where(is_(METAL), param, lobe)
-    ceramic_lobe = jnp.where(u_choice < CERAMIC_SPIKE_PROB, 0.0, 1.0 - param)
-    lobe = jnp.where(is_(CERAMIC) | is_(GLOW), ceramic_lobe, lobe)
-    glass_reflecting = u_choice < reflectivity
-    lobe = jnp.where(is_(GLASS), frost, lobe)
-    lerped = _lerped_reflection(hemi_dir, reflect_dir, lobe, normal)
-
-    glass_refr = _random_refraction(view, normal, hemi_dir, vm.PI * frost, ior, u_aux)
-    glass_dir = jnp.where(glass_reflecting[..., None], lerped, glass_refr)
-
-    liquid_refr = vm.refract(view, normal, ior)
-    liquid_dir = jnp.where(glass_reflecting[..., None], reflect_dir, liquid_refr)
-
-    direction = lerped
-    direction = jnp.where(is_(MIRROR)[..., None], reflect_dir, direction)
-    direction = jnp.where(is_(GLASS)[..., None], glass_dir, direction)
-    direction = jnp.where(is_(LIQUID)[..., None], liquid_dir, direction)
-    direction = jnp.where(is_(FOG)[..., None], view, direction)
-    direction = jnp.where(is_(LIGHT)[..., None], 0.0, direction)
-
-    # --- continuation predicate (WillUseIndirectLight) --------------------
-    n_dot_l = vm.dot(normal, direction)
-    will = jnp.ones_like(u_choice, dtype=bool)
-    will = jnp.where(is_(LIGHT), False, will)
-    will = jnp.where(is_(DIFFUSE), n_dot_l > DIFFUSE_CONTRIB_THRESHOLD, will)
-    metal_will = (param <= DIFFUSE_ROUGHNESS_THRESHOLD) | (n_dot_l > DIFFUSE_CONTRIB_THRESHOLD)
-    will = jnp.where(is_(METAL), metal_will, will)
-
-    # --- affine radiance transfer: Sample(L) = coef·L + bias --------------
-    texel = sample_texture(tex, tex_id, tex_scale, texcoords, diffuse)
-    ndl = jnp.maximum(n_dot_l, 0.0)[..., None]
-
-    half_vec = vm.normalize(-view + direction)
-    hn = vm.dot(half_vec, normal)
-    # pow(h·n, 50) with an even integer exponent is positive for negative
-    # bases in C++ (material.cpp:280); (hn²)^25 reproduces that exactly.
-    spec = jnp.power(hn * hn, CERAMIC_SPEC_POWER // 2)[..., None]
-
-    coef = texel * ndl  # DIFFUSE
-    coef = jnp.where(is_(LIGHT)[..., None], 0.0, coef)
-    metal_coef = texel * (param[..., None] * ndl + (1.0 - param)[..., None])
-    coef = jnp.where(is_(METAL)[..., None], metal_coef, coef)
-    coef = jnp.where((is_(MIRROR) | is_(GLASS) | is_(LIQUID))[..., None], diffuse, coef)
-    ceramic_coef = spec + texel * ndl * (1.0 - spec)
-    coef = jnp.where((is_(CERAMIC) | is_(GLOW))[..., None], ceramic_coef, coef)
-    coef = jnp.where(is_(FOG)[..., None], 1.0, coef)
-
-    light_bias = sample_texture(tex, tex_id, tex_scale, texcoords, emissive)
-    bias = jnp.where(is_(LIGHT)[..., None], light_bias, 0.0)
-    bias = jnp.where(is_(GLOW)[..., None], glow, bias)
-
+    p = shade_planar(
+        table, tex, mat_idx,
+        (view[..., 0], view[..., 1], view[..., 2]),
+        (normal[..., 0], normal[..., 1], normal[..., 2]),
+        (texcoords[..., 0], texcoords[..., 1]),
+        (uniforms[..., 0], uniforms[..., 1], uniforms[..., 2],
+         uniforms[..., 3]),
+    )
+    st = lambda x, y, z: jnp.stack([x, y, z], axis=-1)
     return ShadeResult(
-        direction=direction,
-        coef=coef,
-        bias=bias,
-        will_indirect=will,
-        is_light=is_(LIGHT),
-        is_fog=is_(FOG),
-        fog_diffuse=diffuse,
-        fog_density=frost,
+        direction=st(p.dx, p.dy, p.dz),
+        coef=st(p.cx, p.cy, p.cz),
+        bias=st(p.bx, p.by, p.bz),
+        will_indirect=p.will_indirect,
+        is_light=p.is_light,
+        is_fog=p.is_fog,
+        fog_diffuse=st(p.fdx, p.fdy, p.fdz),
+        fog_density=p.fog_density,
     )
 
 

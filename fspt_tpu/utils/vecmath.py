@@ -120,3 +120,77 @@ def uniform_sphere_dir(u1, u2):
     r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
     phi = (2.0 * PI) * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Component-planar ("SoA") variants.
+#
+# A TPU f32 array tiles its two minor dims to (8, 128); an [N, 3] vector
+# array therefore pads 3 → 128 lanes and costs 42× its data in HBM whenever
+# XLA materializes it (measured: a single [1M, 3] gather = 506 MB).  The hot
+# wavefront paths keep every vector as three separate [N] planes and use
+# these helpers; formulas mirror the [..., 3] versions above term-for-term
+# so both paths agree to ulp order.
+
+
+def dot_p(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def normalize_p(vx, vy, vz):
+    """Planar :func:`normalize`: zero vectors map to zero."""
+    n2 = vx * vx + vy * vy + vz * vz
+    inv = jnp.where(n2 > 0.0,
+                    jnp.reciprocal(jnp.sqrt(jnp.where(n2 > 0.0, n2, 1.0))),
+                    0.0)
+    return vx * inv, vy * inv, vz * inv
+
+
+def reflect_p(vx, vy, vz, nx, ny, nz):
+    d2 = 2.0 * (nx * vx + ny * vy + nz * vz)
+    return vx - nx * d2, vy - ny * d2, vz - nz * d2
+
+
+def refract_p(vx, vy, vz, nx, ny, nz, index):
+    """Planar :func:`refract`; TIR → zero vector."""
+    n_dot_v = -(vx * nx + vy * ny + vz * nz)
+    sin2 = (index * index) * (1.0 - n_dot_v * n_dot_v)
+    k = index * n_dot_v - jnp.sqrt(jnp.maximum(1.0 - sin2, 1e-12))
+    rx, ry, rz = vx * index + nx * k, vy * index + ny * k, vz * index + nz * k
+    ox, oy, oz = normalize_p(rx, ry, rz)
+    tir = sin2 >= 1.0
+    zero = jnp.zeros_like(ox)
+    return (jnp.where(tir, zero, ox), jnp.where(tir, zero, oy),
+            jnp.where(tir, zero, oz))
+
+
+def rotate_p(vx, vy, vz, angle, ax, ay, az):
+    """Planar Rodrigues rotation (vector3.h:315-333)."""
+    c = jnp.cos(angle)
+    s = jnp.sin(angle)
+    ic = 1.0 - c
+    ox = (c + ic * ax * ax) * vx + (ic * ax * ay - az * s) * vy + (ic * ax * az + ay * s) * vz
+    oy = (ic * ax * ay + az * s) * vx + (c + ic * ay * ay) * vy + (ic * ay * az - ax * s) * vz
+    oz = (ic * ax * az - ay * s) * vx + (ic * ay * az + ax * s) * vy + (c + ic * az * az) * vz
+    return ox, oy, oz
+
+
+def uniform_sphere_dir_p(u1, u2):
+    z = 1.0 - 2.0 * u1
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = (2.0 * PI) * u2
+    return r * jnp.cos(phi), r * jnp.sin(phi), z
+
+
+def sphere_map_texcoords_p(nx, ny, nz):
+    u = jnp.arctan2(nx, nz) / (2.0 * PI) + 0.5
+    v = ny * 0.5 + 0.5
+    return u, 1.0 - v
+
+
+def planar_map_texcoords_p(px, py, pz, nx, ny, nz):
+    use_x = (nx > ny) & (nx > nz)
+    use_y = (ny > nx) & (ny > nz) & ~use_x
+    u = jnp.where(use_x, py, jnp.where(use_y, px, px))
+    v = jnp.where(use_x, pz, jnp.where(use_y, pz, py))
+    return u, v
