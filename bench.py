@@ -177,6 +177,68 @@ def bench_mesh(width=1024, height=1024, spp=4, max_depth=4, band_rows=256,
     return best
 
 
+def bench_fwdbwd(width=1920, height=1080, spp=4, max_depth=8, band_rows=135,
+                 iters=2):
+    """BASELINE "report" row: fwd+bwd rays/s/chip at 4spp 1080p.
+
+    value_and_grad of a dual-buffer material-recovery loss (the estimator
+    examples/recover_albedo.py trains with) over the flagship scene, rendered
+    in horizontal bands.  Counts segments of BOTH correlated renders."""
+    from fspt_tpu.config import RenderConfig
+    from fspt_tpu.ops.pallas_trace import make_pallas_intersector
+    from fspt_tpu.render import integrator
+
+    builder = build_bench_scene()
+    scene = builder.compile()
+    camera = builder.cameras[0]
+    cfg = RenderConfig(width=width, height=height, spp=spp,
+                       max_depth=max_depth)
+    fast = make_pallas_intersector(scene.geometry)
+    sg = jax.lax.stop_gradient
+
+    def inter(start, seg):
+        return fast(sg(start), sg(seg))
+
+    def band_img(params, y0, seed, f0):
+        table = scene.materials._replace(**params)
+        sc = scene._replace(materials=table)
+        out = integrator.render_wavefront(sc, camera, cfg, seed,
+                                          f0 * cfg.spp, y0=y0,
+                                          rows=band_rows, intersector=inter)
+        img = out.radiance.reshape(band_rows, width, spp, 3).mean(axis=2)
+        return img, out.segments
+
+    def loss_fn(params, y0, target, f0):
+        a, sa = band_img(params, y0, 7, f0)
+        b, sb = band_img(params, y0, 7, f0 + 10007)
+        da, db = a - target, b - target
+        return jnp.mean(da * db), sa + sb
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    params = {"diffuse": scene.materials.diffuse,
+              "emissive": scene.materials.emissive}
+    target = jnp.zeros((band_rows, width, 3), jnp.float32)
+    n_bands = height // band_rows
+    log(f"fwd+bwd: {n_bands} bands of {band_rows} rows, dual-buffer loss")
+    t0 = time.time()
+    (_, segs), grads = grad_fn(params, 0, target, 1)
+    jax.block_until_ready(grads)
+    log(f"fwd+bwd compile+first: {time.time()-t0:.1f}s segs={int(segs)}")
+    best = 0.0
+    for it in range(iters):
+        t0 = time.time()
+        total = 0
+        for bnd in range(n_bands):
+            (_, segs), grads = grad_fn(params, bnd * band_rows, target,
+                                       it * n_bands + bnd + 2)
+            total += int(segs)
+        jax.block_until_ready(grads)
+        dt = time.time() - t0
+        best = max(best, total / dt)
+        log(f"fwd+bwd iter {it}: {dt*1e3:.0f} ms, {total/dt/1e6:.1f} Mrays/s")
+    return best
+
+
 def main():
     log(f"devices: {jax.devices()}")
     try:
@@ -184,6 +246,11 @@ def main():
         log(f"mesh_100k_rays_per_sec: {mesh_rate:.3e}")
     except Exception as e:  # mesh bench is informational; don't kill headline
         log(f"mesh bench failed: {type(e).__name__}: {e}")
+    try:
+        fb_rate = bench_fwdbwd()
+        log(f"fwdbwd_1080p_4spp_rays_per_sec: {fb_rate:.3e}")
+    except Exception as e:
+        log(f"fwd+bwd bench failed: {type(e).__name__}: {e}")
     try:
         # BASELINE config 2: specular/glossy mix, 4 bounces, 16spp at 512².
         spec_rate = bench_forward(width=512, height=512, spp=16, max_depth=4,

@@ -325,8 +325,11 @@ def make_mesh_intersector(scene_pack, block_rays: int = 128,
             t_init = jnp.where(alive, t_init, 0.0)
         if sort:
             n = start.shape[0]
-            key = morton_keys(start, seg, alive, lo_j, hi_j)
-            order = jnp.argsort(key)
+            if sort == "seg" and n % SORT_SEG == 0:
+                order = morton_order_segmented(start, seg, alive, lo_j, hi_j)
+            else:
+                key = morton_keys(start, seg, alive, lo_j, hi_j)
+                order = jnp.argsort(key)
             t_kern, packed = trav.raw(start[order], seg[order],
                                       t_init=t_init[order])
             inv = jnp.zeros((n,), jnp.int32).at[order].set(
@@ -643,6 +646,40 @@ def _spread6(x, bits):
     return out
 
 
+SORT_SEG = 4096  # segmented value-sort granularity (rays per segment)
+
+
+def morton_order_segmented(start, seg, alive, lo, hi):
+    """Segmented packed value-sort: ``order`` permuting rays within disjoint
+    SORT_SEG-ray segments by an 18-bit 6-D Morton key.
+
+    One int32 carries (dead flag << 30) | (key18 << 12) | local index, and
+    ``jnp.sort`` runs along the segment axis — bitonic depth log²(4096)≈144
+    vs ≈400 for a flat 1M argsort, and no (key, iota) variadic sort.  The
+    coarser key (3 bits/axis vs 5) only matters *within* a segment: segments
+    are contiguous raster/pixel runs, so origins are already clustered and
+    the key mostly buys direction coherence.  Requires n % SORT_SEG == 0.
+    """
+    n = start.shape[0]
+    assert n % SORT_SEG == 0
+    scale = 7.0 / jnp.maximum(hi - lo, 1e-6)
+    qo = jnp.clip((start - lo) * scale, 0.0, 7.0).astype(jnp.int32)
+    dn = seg / jnp.maximum(
+        jnp.linalg.norm(seg, axis=-1, keepdims=True), 1e-30)
+    qd = jnp.clip((dn + 1.0) * 3.999, 0.0, 7.0).astype(jnp.int32)
+    key = jnp.zeros((n,), jnp.int32)
+    for a in range(3):
+        key = key | (_spread6(qd[:, a], 3) << a)
+        key = key | (_spread6(qo[:, a], 3) << (a + 3))
+    if alive is not None:
+        key = jnp.where(alive, key, jnp.int32(1 << 18))
+    local = jnp.tile(jnp.arange(SORT_SEG, dtype=jnp.int32), n // SORT_SEG)
+    packed = (key << 12) | local
+    packed = jnp.sort(packed.reshape(-1, SORT_SEG), axis=1).reshape(-1)
+    base = (jnp.arange(n, dtype=jnp.int32) // SORT_SEG) * SORT_SEG
+    return base + (packed & 0xFFF)
+
+
 def morton_keys(start, seg, alive, lo, hi):
     """int32 sort key: 6-D Morton over (origin, direction), 5 bits/axis.
 
@@ -835,7 +872,6 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
         F = F_ref[:]  # (R,16): [d, o×d, o, 1, t0, pad]
         t_best = F[:, 10:11]  # (R,1)
         count = count_ref[0, 0, 0]
-        big = jnp.float32(3.0e38)  # local: kernels may not capture tracers
         nrw = _NF  # weight rows per leaf in the (16, NQ·128) MXU layout
 
         def read_group(gk):
@@ -914,20 +950,35 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
                 v_num = out[:, 2 * TREELET:3 * TREELET]
                 t_num = out[:, 3 * TREELET:4 * TREELET]
                 area = area_ref[pl.ds(leaves[j], 1), :]  # (1,128)
-                np_ = jnp.abs(det) >= vm.EPSILON * area
-                inv = 1.0 / jnp.where(np_, det, 1.0)
-                ub = u_num * inv
-                vb = v_num * inv
-                tc = t_num * inv
-                ok = (np_ & (ub >= 0) & (vb >= 0) & (ub + vb <= 1)
-                      & (tc >= 0) & (tc <= 1) & (tc < t_best))
-                tc_m = jnp.where(ok, tc, big)  # (R,128)
-                t_min = jnp.min(tc_m, axis=1, keepdims=True)  # (R,1)
-                hit_j = t_min < t_best
-                j_min = jnp.min(jnp.where(tc_m <= t_min, col, TREELET),
-                                axis=1, keepdims=True)
-                best = jnp.where(hit_j, leaves[j] * TREELET + j_min, best)
-                t_best = jnp.where(hit_j, t_min, t_best)
+                # Sign-folded MT: multiply the numerators by sign(det) so
+                # every barycentric/depth test compares against |det| with
+                # NO per-column divide (the old inv+ub+vb path).  The exact
+                # winner attributes are recomputed in post(); the kernel
+                # only needs a valid mask and a depth ordering.
+                ad = jnp.abs(det)
+                sm = jnp.where(det < 0.0, -1.0, 1.0)
+                un = u_num * sm
+                vn = v_num * sm
+                tn = t_num * sm
+                # prepare() clamps t seeds to <=1, so tn < t_best·ad already
+                # implies t <= 1 — no separate tc<=1 test.
+                ok = ((ad >= vm.EPSILON * area) & (un >= 0) & (vn >= 0)
+                      & (un + vn <= ad) & (tn >= 0) & (tn < t_best * ad))
+                tc = tn / jnp.where(ok, ad, 1.0)
+                # One fused reduction: non-negative f32 bits are order-
+                # preserving as int32, so pack (t bits, column) into one key
+                # and min-reduce once — replaces the old t_min + j_min pair.
+                # Clearing 7 mantissa bits costs 2^-17 relative depth
+                # resolution on near-ties only (exact t is restored in post).
+                kbits = pltpu.bitcast(tc, jnp.int32)
+                key = jnp.where(ok, (kbits & ~(TREELET - 1)) | col,
+                                jnp.int32(0x7FFFFFFF))
+                kmin = jnp.min(key, axis=1, keepdims=True)  # (R,1)
+                hit_j = kmin < jnp.int32(0x7FFFFFFF)
+                best = jnp.where(
+                    hit_j, leaves[j] * TREELET + (kmin & (TREELET - 1)), best)
+                t_new = pltpu.bitcast(kmin & ~(TREELET - 1), jnp.float32)
+                t_best = jnp.where(hit_j, t_new, t_best)
 
             # tlo is sorted ascending and t_blk only shrinks: the first
             # too-far group ends the block's sweep.
@@ -966,6 +1017,9 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
 
         t0 = (jnp.full((n,), INVALID_PARAM, jnp.float32)
               if t_init is None else t_init)
+        # Valid segment hits satisfy t<=1, so clamping seeds to 1 loses
+        # nothing and lets the sweep kernel drop its tc<=1 test.
+        t0 = jnp.minimum(t0, 1.0)
         start_p = jnp.pad(start, ((0, n_pad - n), (0, 0)))
         seg_p = jnp.pad(seg, ((0, n_pad - n), (0, 0)))
         t0_p = jnp.pad(t0, (0, n_pad - n))  # padding: t0=0 → dead
@@ -1014,6 +1068,11 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
         out = sweep(counts, order, tlo_sorted, F)
         t_kern = out[:n, 0]
         best = jax.lax.bitcast_convert_type(out[:n, 1], jnp.int32)
+        # The kernel seeds were clamped to 1 (prepare); report the caller's
+        # own t on miss lanes so misses keep t_init/INVALID_PARAM exactly.
+        t0 = (jnp.full((n,), INVALID_PARAM, jnp.float32)
+              if t_init is None else t_init)
+        t_kern = jnp.where(best >= 0, t_kern, t0)
         return t_kern, best
 
     def post(start, seg, t_kern, best):

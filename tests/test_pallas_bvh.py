@@ -116,6 +116,28 @@ def test_sorted_intersector_matches_unsorted():
     assert (np.asarray(h0.mat)[m] == np.asarray(h1.mat)[m]).mean() > 0.999
 
 
+def test_segmented_sort_matches_unsorted():
+    """Segmented value-sort (sort="seg") is also a pure permutation."""
+    from fspt_tpu.ops.pallas_bvh import SORT_SEG
+
+    builder = build_cornell_box()
+    v0, v1, v2 = _tris(300, seed=21)
+    off = np.array([0, -25, 0], np.float32)
+    builder.add_triangles(v0 * 0.2 + off, v1 * 0.2 + off, v2 * 0.2 + off, mat=0)
+    scene = builder.compile(bvh_threshold=64)
+    plain = make_mesh_intersector(scene, sort=False)
+    srt = make_mesh_intersector(scene, sort="seg")
+    n = SORT_SEG  # the segmented path requires n % SORT_SEG == 0
+    start, seg = _rays(n, seed=22)
+    alive = jnp.asarray(np.random.RandomState(23).rand(n) > 0.3)
+    h0 = plain(start, seg, alive)
+    h1 = srt(start, seg, alive)
+    m = np.asarray(alive)
+    np.testing.assert_allclose(np.asarray(h0.t)[m], np.asarray(h1.t)[m],
+                               rtol=1e-4, atol=1e-6)
+    assert (np.asarray(h0.mat)[m] == np.asarray(h1.mat)[m]).mean() > 0.999
+
+
 def test_mesh_intersector_full_render():
     """Mesh scene rendered via the Pallas mesh intersector == XLA BVH path."""
     builder = build_cornell_box()
