@@ -12,6 +12,7 @@ Diagnostics go to stderr; stdout carries only the JSON line.
 """
 
 import json
+import statistics
 import sys
 import time
 
@@ -23,6 +24,17 @@ TARGET = 1.0e9
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+def summarize(rates):
+    """Median-of-iterations (max flatters noisy runs — VERDICT r2 #9)."""
+    med = statistics.median(rates)
+    if len(rates) > 1:
+        spread = (max(rates) - min(rates)) / med
+        log(f"  median {med/1e6:.1f} Mrays/s over {len(rates)} iters "
+            f"(min {min(rates)/1e6:.1f}, max {max(rates)/1e6:.1f}, "
+            f"spread {spread:.1%})")
+    return med
 
 
 def build_bench_scene():
@@ -76,7 +88,7 @@ def bench_forward(width=1024, height=1024, spp=4, max_depth=8, outer_iters=8,
     # latency (notably high through remote-relay setups) amortizes, matching
     # how a progressive renderer actually issues work.
     frames_per_iter = 10
-    best = 0.0
+    rates = []
     for it in range(outer_iters):
         t0 = time.time()
         for f in range(frames_per_iter):
@@ -84,9 +96,9 @@ def bench_forward(width=1024, height=1024, spp=4, max_depth=8, outer_iters=8,
         jax.block_until_ready(out)
         dt = (time.time() - t0) / frames_per_iter
         rate = int(out.segments) / dt
-        best = max(best, rate)
+        rates.append(rate)
         log(f"iter {it}: {dt*1000:.1f} ms/frame, {rate/1e6:.1f} Mrays/s")
-    return best
+    return summarize(rates)
 
 
 def build_mesh_scene(grid=224):
@@ -166,15 +178,15 @@ def bench_mesh(width=1024, height=1024, spp=4, max_depth=4, band_rows=256,
     t0 = time.time()
     seg0 = int(fn(0, 0)[0])
     log(f"mesh compile+first band: {time.time()-t0:.1f}s; segs/band={seg0}")
-    best = 0.0
+    rates = []
     for it in range(outer_iters):
         t0 = time.time()
         outs = [fn(b * band_rows, it + 1) for b in range(n_bands)]
         total = sum(int(o[0]) for o in outs)
         dt = time.time() - t0
-        best = max(best, total / dt)
+        rates.append(total / dt)
         log(f"mesh iter {it}: {dt*1000:.0f} ms, {total/dt/1e6:.2f} Mrays/s")
-    return best
+    return summarize(rates)
 
 
 def bench_fwdbwd(width=1920, height=1080, spp=4, max_depth=8, band_rows=135,
@@ -224,7 +236,7 @@ def bench_fwdbwd(width=1920, height=1080, spp=4, max_depth=8, band_rows=135,
     (_, segs), grads = grad_fn(params, 0, target, 1)
     jax.block_until_ready(grads)
     log(f"fwd+bwd compile+first: {time.time()-t0:.1f}s segs={int(segs)}")
-    best = 0.0
+    rates = []
     for it in range(iters):
         t0 = time.time()
         total = 0
@@ -234,9 +246,9 @@ def bench_fwdbwd(width=1920, height=1080, spp=4, max_depth=8, band_rows=135,
             total += int(segs)
         jax.block_until_ready(grads)
         dt = time.time() - t0
-        best = max(best, total / dt)
+        rates.append(total / dt)
         log(f"fwd+bwd iter {it}: {dt*1e3:.0f} ms, {total/dt/1e6:.1f} Mrays/s")
-    return best
+    return summarize(rates)
 
 
 def main():

@@ -15,6 +15,14 @@ pays only a masked-merge per *used* material instead of a 9-way branch-free
 lattice.  The RNG is the same PCG hash as ops/rng.py, evaluated in-kernel
 with uint32 ops — bit-identical streams to the oracle (verified in tests).
 
+The path *body* is shared with the differentiable planar replay
+(ops/diff_path.py): :func:`build_path_core` parameterizes the body over the
+bitcast primitives (Mosaic vs XLA) and the source of continuous material
+values (baked NumPy scalars → kernel immediates, or traced table entries →
+differentiable).  Branch *structure* (which materials exist, static glass
+regimes) always comes from the NumPy snapshot, so the two instantiations
+trace the same straight-line program and produce bit-comparable streams.
+
 Limitations (fall back to the per-bounce path in ops/pallas_trace.py +
 XLA shading): textured materials / textured sky, and scenes too large to
 specialize.
@@ -67,6 +75,37 @@ class HostMaterials:
         return bool((self.tex_id >= 0).any())
 
 
+# --- bitcast primitives: Mosaic in-kernel vs XLA planar replay --------------
+
+
+class MosaicOps:
+    """uint32 bit ops as Mosaic lowers them (pltpu.bitcast)."""
+
+    @staticmethod
+    def to_u32(x_i32):
+        return pltpu.bitcast(x_i32, U32)
+
+    @staticmethod
+    def unit_f32(h_u32):
+        # Mosaic has no unsigned→float convert; h>>8 < 2^24 so the int32
+        # bitcast is value-preserving.
+        return pltpu.bitcast(h_u32 >> U32(8), jnp.int32).astype(
+            jnp.float32) * np.float32(1.0 / (1 << 24))
+
+
+class XlaOps:
+    """The same ops in plain XLA (bit-identical results; see ops/rng.py)."""
+
+    @staticmethod
+    def to_u32(x_i32):
+        return jax.lax.bitcast_convert_type(x_i32, U32)
+
+    @staticmethod
+    def unit_f32(h_u32):
+        return (h_u32 >> U32(8)).astype(jnp.float32) * np.float32(
+            1.0 / (1 << 24))
+
+
 # --- in-kernel PCG streams (bit-identical to ops/rng.py) -------------------
 
 
@@ -76,15 +115,13 @@ def _pcg(x):
     return (word >> U32(22)) ^ word
 
 
-def _stream_uniform(h0_u32, pix_u32, smp_u32, ctr: int):
+def _stream_uniform(ops, h0_u32, pix_u32, smp_u32, ctr: int):
     """Uniform draw; ``h0 = pcg(seed ^ 0x9E3779B9)`` is precomputed host-side
-    so the kernel only does vector uint32 ops (bit-identical to ops/rng.py)."""
+    so the body only does vector uint32 ops (bit-identical to ops/rng.py)."""
     h = _pcg(h0_u32 + pix_u32)
     h = _pcg(h + smp_u32)
     h = _pcg(h + U32(ctr))
-    return pltpu.bitcast(h >> U32(8), jnp.int32).astype(jnp.float32) * np.float32(
-        1.0 / (1 << 24)
-    )
+    return ops.unit_f32(h)
 
 
 def _sphere_dir(u1, u2):
@@ -119,7 +156,7 @@ def _rotate(vx, vy, vz, angle, ax, ay, az):
     return ox, oy, oz
 
 
-def _refract(vx, vy, vz, nx, ny, nz, index: float):
+def _refract(vx, vy, vz, nx, ny, nz, index):
     """vector3::refract (vector3.h:205-214): TIR → zero, else normalized."""
     ndv = -(vx * nx + vy * ny + vz * nz)
     sin2 = (index * index) * (1.0 - ndv * ndv)
@@ -132,23 +169,42 @@ def _refract(vx, vy, vz, nx, ny, nz, index: float):
             jnp.where(tir, zero, rz))
 
 
-def build_path_kernel(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
-                      z_far_default: float):
-    """Build the megakernel body.  ``cfg`` supplies static loop bounds."""
+def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
+                    z_far_default: float, ops=MosaicOps, tmats=None,
+                    intersect=None):
+    """Build the path-tracing body as a pure array function.
+
+    ``core(h0_i32, sx, sy, sz, dx, dy, dz, pix_i32, smp_i32) →
+    (Lx, Ly, Lz, aov_nx, aov_ny, aov_nz, aov_depth, aov_mat, segcnt)``
+    over arrays of any (broadcast-compatible) shape.
+
+    * ``ops`` supplies the bitcast primitives (MosaicOps inside a Pallas
+      kernel, XlaOps for the planar replay).
+    * ``tmats`` supplies *continuous* material values — defaults to the
+      NumPy snapshot ``mats`` (values become kernel immediates); pass a
+      traced MaterialTable to differentiate radiance w.r.t. the table.
+      Branch structure always comes from ``mats``.
+    * ``intersect`` overrides the closest-hit function
+      ``(sx,sy,sz,dx,dy,dz) → (t, nx, ny, nz, mat, kind, u, v)``; defaults
+      to the baked-primitive merge (ops/pallas_trace.intersect_lanes).
+    """
+    if tmats is None:
+        tmats = mats
+    if intersect is None:
+        def intersect(sx, sy, sz, dx, dy, dz):
+            return intersect_lanes(scene, sx, sy, sz, dx, dy, dz,
+                                   want_texcoords=False)
     depth_count = cfg.effective_depth
     ray_offset = cfg.ray_offset
-    sky_e = mats.emissive[sky_idx] * 3.0  # SampleSky ×3 (scene.cpp:157-162)
+    ske = tmats.emissive[sky_idx]
+    sky_e0, sky_e1, sky_e2 = ske[0] * 3.0, ske[1] * 3.0, ske[2] * 3.0
+    # SampleSky ×3 (scene.cpp:157-162)
     material_rows = list(range(mats.count))
 
-    def kernel(h0_ref, sx_ref, sy_ref, sz_ref, dx_ref, dy_ref, dz_ref,
-               pix_ref, smp_ref,
-               lx_ref, ly_ref, lz_ref, anx_ref, any_ref, anz_ref,
-               ad_ref, am_ref, seg_ref):
-        sx, sy, sz = sx_ref[:], sy_ref[:], sz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-        pix = pltpu.bitcast(pix_ref[:], U32)
-        smp = pltpu.bitcast(smp_ref[:], U32)
-        h0 = pltpu.bitcast(jnp.full(sx.shape, h0_ref[0], jnp.int32), U32)
+    def core(h0_i32, sx, sy, sz, dx, dy, dz, pix_i32, smp_i32):
+        pix = ops.to_u32(pix_i32)
+        smp = ops.to_u32(smp_i32)
+        h0 = ops.to_u32(h0_i32)
 
         zero = jnp.zeros_like(sx)
         one = jnp.ones_like(sx)
@@ -175,8 +231,8 @@ def build_path_kernel(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
             # once every lane is dead) was measured 15% SLOWER than straight-
             # line code at 4spp Cornell — the branch is an optimization
             # barrier and blocks rarely go fully dead.  Keep it branchless.
-            t, hnx, hny, hnz, hmat, hkind, huu, hvv = intersect_lanes(
-                scene, sx, sy, sz, dx, dy, dz, want_texcoords=False
+            t, hnx, hny, hnz, hmat, hkind, huu, hvv = intersect(
+                sx, sy, sz, dx, dy, dz
             )
             hit = t < INVALID_PARAM
             px, py, pz = sx + dx * t, sy + dy * t, sz + dz * t
@@ -205,9 +261,9 @@ def build_path_kernel(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
 
             # Miss → sky (engine.cpp:92-101); constant-color sky only here.
             miss = alive & ~hit
-            Lx = Lx + jnp.where(miss, Tx * float(sky_e[0]), 0.0)
-            Ly = Ly + jnp.where(miss, Ty * float(sky_e[1]), 0.0)
-            Lz = Lz + jnp.where(miss, Tz * float(sky_e[2]), 0.0)
+            Lx = Lx + jnp.where(miss, Tx * sky_e0, 0.0)
+            Ly = Ly + jnp.where(miss, Ty * sky_e1, 0.0)
+            Lz = Lz + jnp.where(miss, Tz * sky_e2, 0.0)
 
             active = alive & hit
 
@@ -216,10 +272,10 @@ def build_path_kernel(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
 
             # Per-bounce uniforms, same counter layout as ops/rng.py.
             base = 16 + depth * cfg.bounce_slots
-            u0 = _stream_uniform(h0, pix, smp, base + 0)
-            u1 = _stream_uniform(h0, pix, smp, base + 1)
-            u2 = _stream_uniform(h0, pix, smp, base + 2)
-            u3 = _stream_uniform(h0, pix, smp, base + 3)
+            u0 = _stream_uniform(ops, h0, pix, smp, base + 0)
+            u1 = _stream_uniform(ops, h0, pix, smp, base + 1)
+            u2 = _stream_uniform(ops, h0, pix, smp, base + 2)
+            u3 = _stream_uniform(ops, h0, pix, smp, base + 3)
 
             # Shared sampling vectors.
             ndv = hnx * vx + hny * vy + hnz * vz
@@ -252,14 +308,14 @@ def build_path_kernel(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
             for mrow in material_rows:
                 msk = active & (hmat == mrow)
                 mtype = int(mats.mtype[mrow])
-                dif = mats.diffuse[mrow]
-                d0, d1, d2 = float(dif[0]), float(dif[1]), float(dif[2])
+                dif = tmats.diffuse[mrow]
+                d0, d1, d2 = dif[0], dif[1], dif[2]
 
                 if mtype == M.LIGHT:
-                    em = mats.emissive[mrow]
-                    ex = jnp.where(msk, float(em[0]), ex)
-                    ey = jnp.where(msk, float(em[1]), ey)
-                    ez = jnp.where(msk, float(em[2]), ez)
+                    em = tmats.emissive[mrow]
+                    ex = jnp.where(msk, em[0] * one, ex)
+                    ey = jnp.where(msk, em[1] * one, ey)
+                    ez = jnp.where(msk, em[2] * one, ez)
                     is_light_m = is_light_m | msk
                     continue
 
@@ -270,10 +326,11 @@ def build_path_kernel(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                     nl = jnp.maximum(ndl, 0.0)
                     ccx, ccy, ccz = d0 * nl, d1 * nl, d2 * nl
                 elif mtype == M.METAL:
-                    rough = float(mats.param[mrow])
+                    rough = tmats.param[mrow]
+                    rough_s = float(mats.param[mrow])  # static lobe regime
                     ox, oy, oz = lerped(rough)
                     ndl = ox * hnx + oy * hny + oz * hnz
-                    w = (rough <= M.DIFFUSE_ROUGHNESS_THRESHOLD) | (
+                    w = (rough_s <= M.DIFFUSE_ROUGHNESS_THRESHOLD) | (
                         ndl > M.DIFFUSE_CONTRIB_THRESHOLD)
                     nl = jnp.maximum(ndl, 0.0)
                     f = rough * nl + (1.0 - rough)
@@ -283,7 +340,7 @@ def build_path_kernel(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                     w = jnp.ones_like(msk)
                     ccx, ccy, ccz = d0 * one, d1 * one, d2 * one
                 elif mtype in (M.CERAMIC, M.GLOW):
-                    shin = float(mats.param[mrow])
+                    shin = tmats.param[mrow]
                     amount = jnp.where(u0 < M.CERAMIC_SPIKE_PROB, 0.0, 1.0 - shin)
                     ox, oy, oz = lerped(amount)
                     ndl = ox * hnx + oy * hny + oz * hnz
@@ -296,26 +353,30 @@ def build_path_kernel(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                     ccz = spec + d2 * nl * (1.0 - spec)
                     w = jnp.ones_like(msk)
                     if mtype == M.GLOW:
-                        gl = mats.glow[mrow]
-                        ex = jnp.where(msk, float(gl[0]), ex)
-                        ey = jnp.where(msk, float(gl[1]), ey)
-                        ez = jnp.where(msk, float(gl[2]), ez)
+                        gl = tmats.glow[mrow]
+                        ex = jnp.where(msk, gl[0] * one, ex)
+                        ey = jnp.where(msk, gl[1] * one, ey)
+                        ez = jnp.where(msk, gl[2] * one, ez)
                 elif mtype == M.GLASS:
-                    refl = float(mats.reflectivity[mrow])
-                    frost = float(mats.frost[mrow])
-                    index = float(mats.ior[mrow])
+                    refl = tmats.reflectivity[mrow]
+                    frost = tmats.frost[mrow]
+                    index = tmats.ior[mrow]
+                    index_s = float(mats.ior[mrow])
+                    frost_s = float(mats.frost[mrow])
                     lrx, lry, lrz = lerped(frost)
-                    # random_refraction (normal.cpp:64-105)
-                    if abs(index - 1.0) < vm.EPSILON:
+                    # random_refraction (normal.cpp:64-105); regimes are
+                    # static in the snapshot values.
+                    if abs(index_s - 1.0) < vm.EPSILON:
                         fx0, fy0, fz0 = _norm3(vx, vy, vz)
                     else:
                         fx0, fy0, fz0 = _refract(vx, vy, vz, hnx, hny, hnz, index)
-                    sa = vm.PI * frost
-                    if abs(sa - vm.PI) < vm.EPSILON:
+                    sa_s = vm.PI * frost_s
+                    if abs(sa_s - vm.PI) < vm.EPSILON:
                         qx, qy, qz = gx, gy, gz
-                    elif abs(sa) < vm.EPSILON:
+                    elif abs(sa_s) < vm.EPSILON:
                         qx, qy, qz = fx0, fy0, fz0
                     else:
+                        sa = vm.PI * frost
                         delta = (u3 * 2.0 - 1.0) * (sa * 0.5)
                         qx, qy, qz = _rotate(fx0, fy0, fz0, delta, gx, gy, gz)
                     take_r = u0 < refl
@@ -325,8 +386,8 @@ def build_path_kernel(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                     w = jnp.ones_like(msk)
                     ccx, ccy, ccz = d0 * one, d1 * one, d2 * one
                 elif mtype == M.LIQUID:
-                    refl = float(mats.reflectivity[mrow])
-                    index = float(mats.ior[mrow])
+                    refl = tmats.reflectivity[mrow]
+                    index = tmats.ior[mrow]
                     qx, qy, qz = _refract(vx, vy, vz, hnx, hny, hnz, index)
                     take_r = u0 < refl
                     ox = jnp.where(take_r, rx, qx)
@@ -339,10 +400,10 @@ def build_path_kernel(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                     w = jnp.ones_like(msk)
                     ccx, ccy, ccz = one, one, one
                     is_fog_m = is_fog_m | msk
-                    fog_dens_m = jnp.where(msk, float(mats.frost[mrow]), fog_dens_m)
-                    fog_cx = jnp.where(msk, d0, fog_cx)
-                    fog_cy = jnp.where(msk, d1, fog_cy)
-                    fog_cz = jnp.where(msk, d2, fog_cz)
+                    fog_dens_m = jnp.where(msk, tmats.frost[mrow] * one, fog_dens_m)
+                    fog_cx = jnp.where(msk, d0 * one, fog_cx)
+                    fog_cy = jnp.where(msk, d1 * one, fog_cy)
+                    fog_cz = jnp.where(msk, d2 * one, fog_cz)
                 else:
                     raise ValueError(f"unknown material type {mtype}")
 
@@ -408,15 +469,26 @@ def build_path_kernel(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
         s = jnp.where(clampm, cfg.light_clamp / norm, 1.0)
         Lx, Ly, Lz = Lx * s, Ly * s, Lz * s
 
-        lx_ref[:] = Lx
-        ly_ref[:] = Ly
-        lz_ref[:] = Lz
-        anx_ref[:] = aov_nx
-        any_ref[:] = aov_ny
-        anz_ref[:] = aov_nz
-        ad_ref[:] = aov_d
-        am_ref[:] = aov_m
-        seg_ref[:] = segcnt
+        return (Lx, Ly, Lz, aov_nx, aov_ny, aov_nz, aov_d, aov_m, segcnt)
+
+    return core
+
+
+def build_path_kernel(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
+                      z_far_default: float):
+    """Wrap the path core as a Pallas kernel body (baked constants)."""
+    core = build_path_core(scene, mats, cfg, sky_idx, z_far_default,
+                           ops=MosaicOps)
+
+    def kernel(h0_ref, sx_ref, sy_ref, sz_ref, dx_ref, dy_ref, dz_ref,
+               pix_ref, smp_ref,
+               lx_ref, ly_ref, lz_ref, anx_ref, any_ref, anz_ref,
+               ad_ref, am_ref, seg_ref):
+        h0 = jnp.full(sx_ref.shape, h0_ref[0], jnp.int32)
+        outs = core(h0, sx_ref[:], sy_ref[:], sz_ref[:],
+                    dx_ref[:], dy_ref[:], dz_ref[:], pix_ref[:], smp_ref[:])
+        (lx_ref[:], ly_ref[:], lz_ref[:], anx_ref[:], any_ref[:], anz_ref[:],
+         ad_ref[:], am_ref[:], seg_ref[:]) = outs
 
     return kernel
 
@@ -556,7 +628,8 @@ def make_camera_path_tracer(scene_pack, camera, cfg,
         interpret = jax.default_backend() != "tpu"
     sky_idx = int(scene_pack.sky_mat)
     cam = HostCamera(camera, cfg.width, cfg.height)
-    path_kernel = build_path_kernel(scene, mats, cfg, sky_idx, cam.z_far)
+    core = build_path_core(scene, mats, cfg, sky_idx, cam.z_far,
+                           ops=MosaicOps)
 
     width, spp = cfg.width, cfg.spp
     inv_wm1 = 1.0 / (cfg.width - 1)
@@ -581,8 +654,8 @@ def make_camera_path_tracer(scene_pack, camera, cfg,
         smp = pltpu.bitcast(smp_i, U32)
         h0 = pltpu.bitcast(jnp.full(shape, h0_ref[0], jnp.int32), U32)
 
-        u0 = _stream_uniform(h0, pix, smp, 0)
-        u1 = _stream_uniform(h0, pix, smp, 1)
+        u0 = _stream_uniform(MosaicOps, h0, pix, smp, 0)
+        u1 = _stream_uniform(MosaicOps, h0, pix, smp, 1)
         xf = x.astype(jnp.float32) + (u0 - 0.5)
         yf = y.astype(jnp.float32) + (u1 - 0.5)
         x_dist = cam.half_w * ((xf * inv_wm1) * 2.0 - 1.0)
@@ -601,8 +674,8 @@ def make_camera_path_tracer(scene_pack, camera, cfg,
 
         if cam.aperture > 0.0:
             # Thin-lens DoF (engine.cpp:221-244).
-            u2 = _stream_uniform(h0, pix, smp, 2)
-            u3 = _stream_uniform(h0, pix, smp, 3)
+            u2 = _stream_uniform(MosaicOps, h0, pix, smp, 2)
+            u3 = _stream_uniform(MosaicOps, h0, pix, smp, 3)
             fp = cam.focal_plane
             ts = float(fp[0]) * dx + float(fp[1]) * dy + float(fp[2]) * dz
             ns = -(float(fp[0]) * sx + float(fp[1]) * sy + float(fp[2]) * sz
@@ -628,19 +701,10 @@ def make_camera_path_tracer(scene_pack, camera, cfg,
             dy = jnp.where(valid, ndy * zf, dy)
             dz = jnp.where(valid, ndz * zf, dz)
 
-        class _Ref:
-            def __init__(self, v):
-                self.v = v
-            def __getitem__(self, k):
-                return self.v if k == slice(None) else self.v[k]
-
-        # Reuse the path kernel body by faking its input refs.
-        path_kernel(
-            h0_ref, _Ref(sx), _Ref(sy), _Ref(sz), _Ref(dx), _Ref(dy), _Ref(dz),
-            _Ref(pix_i), _Ref(smp_i),
-            lx_ref, ly_ref, lz_ref, anx_ref, any_ref, anz_ref,
-            ad_ref, am_ref, seg_ref,
-        )
+        h0_i = jnp.full(shape, h0_ref[0], jnp.int32)
+        outs = core(h0_i, sx, sy, sz, dx, dy, dz, pix_i, smp_i)
+        (lx_ref[:], ly_ref[:], lz_ref[:], anx_ref[:], any_ref[:], anz_ref[:],
+         ad_ref[:], am_ref[:], seg_ref[:]) = outs
 
     def trace(seed, sample0, lane0=0, n_lanes=None):
         from fspt_tpu.ops import rng as rng_mod
