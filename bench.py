@@ -189,40 +189,46 @@ def bench_mesh(width=1024, height=1024, spp=4, max_depth=4, band_rows=256,
     return summarize(rates)
 
 
-def bench_fwdbwd(width=1920, height=1080, spp=4, max_depth=8, band_rows=135,
+def bench_fwdbwd(width=1920, height=1080, spp=4, max_depth=8, band_rows=270,
                  iters=2):
     """BASELINE "report" row: fwd+bwd rays/s/chip at 4spp 1080p.
 
     value_and_grad of a dual-buffer material-recovery loss (the estimator
     examples/recover_albedo.py trains with) over the flagship scene, rendered
-    in horizontal bands.  Counts segments of BOTH correlated renders."""
+    in horizontal bands.  Both directions run in Pallas (ops/pallas_grad.py:
+    megakernel forward with SMEM-resident table entries + in-kernel-adjoint
+    backward); the planar XLA replay (ops/diff_path.py) is the fallback.
+    Counts segments of BOTH correlated renders."""
+    import numpy as np
+
     from fspt_tpu.config import RenderConfig
-    from fspt_tpu.ops.pallas_trace import make_pallas_intersector
-    from fspt_tpu.render import integrator
+    from fspt_tpu.ops.pallas_grad import make_grad_image_fn
 
     builder = build_bench_scene()
     scene = builder.compile()
     camera = builder.cameras[0]
     cfg = RenderConfig(width=width, height=height, spp=spp,
                        max_depth=max_depth)
-    fast = make_pallas_intersector(scene.geometry)
-    sg = jax.lax.stop_gradient
+    grad_img_fn = make_grad_image_fn(scene, camera, cfg)
+    if grad_img_fn is not None:
+        log("fwd+bwd path: fused pallas megakernel + in-kernel-adjoint kernel")
 
-    def inter(start, seg):
-        return fast(sg(start), sg(seg))
+        def img_fn(params, seed, f0, y0, rows):
+            return grad_img_fn(params, seed, f0, y0, rows)
+    else:
+        from fspt_tpu.ops.diff_path import make_image_fn
 
-    def band_img(params, y0, seed, f0):
-        table = scene.materials._replace(**params)
-        sc = scene._replace(materials=table)
-        out = integrator.render_wavefront(sc, camera, cfg, seed,
-                                          f0 * cfg.spp, y0=y0,
-                                          rows=band_rows, intersector=inter)
-        img = out.radiance.reshape(band_rows, width, spp, 3).mean(axis=2)
-        return img, out.segments
+        log("fwd+bwd path: planar XLA replay")
+        planar = make_image_fn(scene, cfg,
+                               z_far=float(np.asarray(camera.z_far)))
+
+        def img_fn(params, seed, f0, y0, rows):
+            table = scene.materials._replace(**params)
+            return planar(table, camera, seed, f0, y0, rows)
 
     def loss_fn(params, y0, target, f0):
-        a, sa = band_img(params, y0, 7, f0)
-        b, sb = band_img(params, y0, 7, f0 + 10007)
+        a, sa = img_fn(params, 7, f0, y0, band_rows)
+        b, sb = img_fn(params, 7, f0 + 10007, y0, band_rows)
         da, db = a - target, b - target
         return jnp.mean(da * db), sa + sb
 

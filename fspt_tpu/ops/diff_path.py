@@ -47,7 +47,8 @@ from fspt_tpu.ops.pallas_path import (
 )
 
 
-def make_diff_path(scene_pack, cfg, z_far: float = 10000.0):
+def make_diff_path(scene_pack, cfg, z_far: float = 10000.0,
+                   sg_hits: bool = False):
     """Build the differentiable planar renderer for a ScenePack.
 
     Returns ``fn(table, camera, seed, sample0, y0=0, rows=None) →
@@ -56,10 +57,18 @@ def make_diff_path(scene_pack, cfg, z_far: float = 10000.0):
     or None when the scene needs the general path (BVH triangles / textures
     / too many primitives; same envelope as the megakernel).
 
+    ``sg_hits=True`` stops gradients at the closest-hit outputs (t, normal)
+    — the hit-id-replay semantics of ops/diff_intersect.py taken one step
+    further: for *material-only* optimization the intersection chain
+    contributes nothing to the gradient (rays never depend on the table),
+    so detaching it frees the backward pass from re-walking it and from
+    saving its residuals.  Leave False for camera/geometry gradients.
+
     ``z_far`` must match ``camera.z_far`` (same contract as
     make_path_tracer).  ``cfg.edge_eps`` is ignored — silhouette terms need
     the general integrator.
     """
+    from fspt_tpu.ops.pallas_trace import intersect_lanes
     from fspt_tpu.render.integrator import TraceOutput
 
     if scene_pack.bvh is not None:
@@ -72,9 +81,18 @@ def make_diff_path(scene_pack, cfg, z_far: float = 10000.0):
         return None
     sky_idx = int(scene_pack.sky_mat)
 
+    intersect = None
+    if sg_hits:
+        def intersect(sx, sy, sz, dx, dy, dz):
+            sg = jax.lax.stop_gradient
+            outs = intersect_lanes(scene, sg(sx), sg(sy), sg(sz),
+                                   sg(dx), sg(dy), sg(dz),
+                                   want_texcoords=False)
+            return tuple(sg(o) for o in outs)
+
     def trace(table, camera, seed, sample0, y0=0, rows=None):
         core = build_path_core(scene, mats, cfg, sky_idx, float(z_far),
-                               ops=XlaOps, tmats=table)
+                               ops=XlaOps, tmats=table, intersect=intersect)
         start, seg, pixel_idx, sample_idx = generate_rays(
             camera, cfg.width, cfg.height, cfg.spp, seed, sample0,
             y0=y0, rows=rows)
@@ -97,7 +115,8 @@ def make_diff_path(scene_pack, cfg, z_far: float = 10000.0):
     return trace
 
 
-def make_image_fn(scene_pack, cfg, z_far: float = 10000.0, remat: bool = False):
+def make_image_fn(scene_pack, cfg, z_far: float = 10000.0, remat: bool = False,
+                  sg_hits: bool = False):
     """Differentiable band-image renderer on the planar path.
 
     Returns ``img_fn(table, camera, seed, frame_idx, y0, rows) →
@@ -105,8 +124,9 @@ def make_image_fn(scene_pack, cfg, z_far: float = 10000.0, remat: bool = False):
     scene can't use the planar path.  ``remat=True`` wraps the trace in
     ``jax.checkpoint`` — the backward pass recomputes the bounce chain
     instead of saving per-bounce residuals (trades FLOPs for HBM).
+    ``sg_hits``: see make_diff_path.
     """
-    trace = make_diff_path(scene_pack, cfg, z_far=z_far)
+    trace = make_diff_path(scene_pack, cfg, z_far=z_far, sg_hits=sg_hits)
     if trace is None:
         return None
 

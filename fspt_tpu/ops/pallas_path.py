@@ -604,55 +604,31 @@ class HostCamera:
         self.focal_plane = np.concatenate([n, [-float(np.dot(n, p))]])
 
 
-def make_camera_path_tracer(scene_pack, camera, cfg,
-                            block_rows: int = DEFAULT_BLOCK_ROWS,
-                            interpret: bool | None = None):
-    """Megakernel including in-kernel camera ray generation.
+def build_fused_raygen(cam: HostCamera, cfg):
+    """In-kernel primary-ray generation (reference engine.cpp:205-244).
 
-    The kernel's only tensor traffic is its outputs: pixel/sample ids, AA
-    jitter, thin-lens DoF (engine.cpp:205-244) and the full path trace all
-    happen in VMEM.  Returns ``fn(seed, sample0, lane0=0, n_lanes=None) →
-    TraceOutput`` or None if the scene can't be specialized.
-    """
-    from fspt_tpu.render.integrator import TraceOutput
-
-    if scene_pack.bvh is not None:
-        return None  # BVH triangle scenes use ops/pallas_bvh.py / XLA path
-    mats = HostMaterials(scene_pack.materials)
-    if mats.any_textured:
-        return None
-    scene = HostScene(scene_pack.geometry)
-    if scene.prim_count > MAX_SPECIALIZED_PRIMS:
-        return None
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    sky_idx = int(scene_pack.sky_mat)
-    cam = HostCamera(camera, cfg.width, cfg.height)
-    core = build_path_core(scene, mats, cfg, sky_idx, cam.z_far,
-                           ops=MosaicOps)
-
+    Returns ``raygen(h0_scalar, s0_scalar, lane0_scalar, shape, pid) →
+    (sx, sy, sz, dx, dy, dz, pix_i, smp_i)`` for a ``[rows, LANE]`` block at
+    grid position ``pid`` — shared by the forward megakernel and the
+    backward gradient kernel (ops/pallas_grad.py)."""
     width, spp = cfg.width, cfg.spp
     inv_wm1 = 1.0 / (cfg.width - 1)
     inv_hm1 = 1.0 / (cfg.height - 1)
 
-    def kernel(h0_ref, s0_ref, lane0_ref,
-               lx_ref, ly_ref, lz_ref, anx_ref, any_ref, anz_ref,
-               ad_ref, am_ref, seg_ref):
-        shape = lx_ref.shape
-        pid = pl.program_id(0)
+    def raygen(h0_s, s0_s, lane0_s, shape, pid):
         rows_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        flat = lane0_ref[0] + (pid * shape[0] + rows_ids) * LANE + col_ids
+        flat = lane0_s + (pid * shape[0] + rows_ids) * LANE + col_ids
 
         s = jnp.remainder(flat, spp)
         pxy = flat // spp
         x = jnp.remainder(pxy, width)
         y = pxy // width
         pix_i = y * width + x
-        smp_i = s + s0_ref[0]
+        smp_i = s + s0_s
         pix = pltpu.bitcast(pix_i, U32)
         smp = pltpu.bitcast(smp_i, U32)
-        h0 = pltpu.bitcast(jnp.full(shape, h0_ref[0], jnp.int32), U32)
+        h0 = pltpu.bitcast(jnp.full(shape, h0_s, jnp.int32), U32)
 
         u0 = _stream_uniform(MosaicOps, h0, pix, smp, 0)
         u1 = _stream_uniform(MosaicOps, h0, pix, smp, 1)
@@ -700,6 +676,47 @@ def make_camera_path_tracer(scene_pack, camera, cfg,
             dx = jnp.where(valid, ndx * zf, dx)
             dy = jnp.where(valid, ndy * zf, dy)
             dz = jnp.where(valid, ndz * zf, dz)
+
+        return sx, sy, sz, dx, dy, dz, pix_i, smp_i
+
+    return raygen
+
+
+def make_camera_path_tracer(scene_pack, camera, cfg,
+                            block_rows: int = DEFAULT_BLOCK_ROWS,
+                            interpret: bool | None = None):
+    """Megakernel including in-kernel camera ray generation.
+
+    The kernel's only tensor traffic is its outputs: pixel/sample ids, AA
+    jitter, thin-lens DoF (engine.cpp:205-244) and the full path trace all
+    happen in VMEM.  Returns ``fn(seed, sample0, lane0=0, n_lanes=None) →
+    TraceOutput`` or None if the scene can't be specialized.
+    """
+    from fspt_tpu.render.integrator import TraceOutput
+
+    if scene_pack.bvh is not None:
+        return None  # BVH triangle scenes use ops/pallas_bvh.py / XLA path
+    mats = HostMaterials(scene_pack.materials)
+    if mats.any_textured:
+        return None
+    scene = HostScene(scene_pack.geometry)
+    if scene.prim_count > MAX_SPECIALIZED_PRIMS:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sky_idx = int(scene_pack.sky_mat)
+    cam = HostCamera(camera, cfg.width, cfg.height)
+    core = build_path_core(scene, mats, cfg, sky_idx, cam.z_far,
+                           ops=MosaicOps)
+    raygen = build_fused_raygen(cam, cfg)
+
+    def kernel(h0_ref, s0_ref, lane0_ref,
+               lx_ref, ly_ref, lz_ref, anx_ref, any_ref, anz_ref,
+               ad_ref, am_ref, seg_ref):
+        shape = lx_ref.shape
+        pid = pl.program_id(0)
+        sx, sy, sz, dx, dy, dz, pix_i, smp_i = raygen(
+            h0_ref[0], s0_ref[0], lane0_ref[0], shape, pid)
 
         h0_i = jnp.full(shape, h0_ref[0], jnp.int32)
         outs = core(h0_i, sx, sy, sz, dx, dy, dz, pix_i, smp_i)

@@ -9,10 +9,15 @@ reduction (``psum``) appears only in the differentiable path.
 """
 
 from fspt_tpu.parallel.mesh import make_mesh, mesh_devices
-from fspt_tpu.parallel.render import make_sharded_render_step, sharded_framebuffer
+from fspt_tpu.parallel.render import (
+    make_sharded_megakernel_step,
+    make_sharded_render_step,
+    sharded_framebuffer,
+)
 from fspt_tpu.parallel.train import (
     apply_vertices,
     make_bvh_vertex_recovery_step,
+    make_fused_recovery_step,
     make_recovery_step,
     make_vertex_recovery_step,
 )
@@ -21,8 +26,10 @@ __all__ = [
     "make_mesh",
     "mesh_devices",
     "make_sharded_render_step",
+    "make_sharded_megakernel_step",
     "sharded_framebuffer",
     "make_recovery_step",
+    "make_fused_recovery_step",
     "make_vertex_recovery_step",
     "make_bvh_vertex_recovery_step",
     "apply_vertices",

@@ -27,8 +27,15 @@ def sharded_framebuffer(mesh, height: int, width: int) -> fb_mod.Framebuffer:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), fb)
 
 
-def make_sharded_render_step(mesh, cfg: RenderConfig):
-    """Build a jitted render step running one scanline band per device."""
+def make_sharded_render_step(mesh, cfg: RenderConfig, intersector=None):
+    """Build a jitted render step running one scanline band per device.
+
+    ``intersector`` (static) is threaded to the integrator — this is how the
+    fast per-bounce kernels (scene-specialized Pallas intersector, the
+    culled-treelet mesh BVH sweep) run under the device mesh; the reference's
+    parallel model is exactly "the hot path × N workers" (engine.cpp:261-274).
+    For the camera-fused megakernel use :func:`make_sharded_megakernel_step`.
+    """
     n = mesh.devices.size
     if cfg.height % n != 0:
         raise ValueError(f"height {cfg.height} not divisible by {n} devices")
@@ -38,7 +45,8 @@ def make_sharded_render_step(mesh, cfg: RenderConfig):
         band = jax.lax.axis_index(RAY_AXIS)
         y0 = band * rows_local
         fb_local, segs = integrator.render_step(
-            scene, camera, cfg, fb_local, seed, frame_idx, y0=y0
+            scene, camera, cfg, fb_local, seed, frame_idx, y0=y0,
+            intersector=intersector,
         )
         return fb_local, jax.lax.psum(segs, RAY_AXIS)
 
@@ -46,6 +54,51 @@ def make_sharded_render_step(mesh, cfg: RenderConfig):
         local_step,
         mesh=mesh,
         in_specs=(P(), P(), P(RAY_AXIS), P(), P()),
+        out_specs=(P(RAY_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_sharded_megakernel_step(mesh, scene_pack, camera, cfg: RenderConfig,
+                                 **tracer_kwargs):
+    """Band-sharded render step on the camera-fused Pallas megakernel.
+
+    Each device traces its own contiguous lane band fully in-kernel (raygen
+    + all bounces in VMEM) — the flagship forward path × N devices with zero
+    forward collectives (only the segment counter psums).  RNG keys on
+    global pixel ids, so output is bit-identical to the single-device
+    megakernel (tested in tests/test_sharding.py).
+
+    Returns ``step(fb, seed, frame_idx) → (fb, segments)`` with the scene
+    and camera baked (recompile on change, like the single-chip tracer), or
+    None when the scene can't be specialized.
+    """
+    from fspt_tpu.ops.pallas_path import make_camera_path_tracer
+
+    tracer = make_camera_path_tracer(scene_pack, camera, cfg, **tracer_kwargs)
+    if tracer is None:
+        return None
+    n = mesh.devices.size
+    if cfg.height % n != 0:
+        raise ValueError(f"height {cfg.height} not divisible by {n} devices")
+    rows_local = cfg.height // n
+    lanes_local = rows_local * cfg.width * cfg.spp
+
+    def local_step(fb_local, seed, frame_idx):
+        band = jax.lax.axis_index(RAY_AXIS)
+        out = tracer(seed, frame_idx * cfg.spp, lane0=band * lanes_local,
+                     n_lanes=lanes_local)
+        fb_local = fb_mod.accumulate(
+            fb_local, out.radiance, out.aov_normal, out.aov_depth,
+            out.aov_mat, rows_local, cfg.width, cfg.spp,
+        )
+        return fb_local, jax.lax.psum(out.segments, RAY_AXIS)
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(RAY_AXIS), P(), P()),
         out_specs=(P(RAY_AXIS), P()),
         check_vma=False,
     )

@@ -63,7 +63,7 @@ DEFAULT_CONSTRAINTS = {
 def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissive"),
                        lr: float = 0.5, optimizer=None, constraints=None,
                        apply_fn=_apply_params, pool: int = 8,
-                       intersector_bind=None):
+                       intersector_bind=None, render_fn=None):
     """Build a jitted sharded optimizer step on the named material-table columns.
 
     Returns ``step(params, scene, camera, target, seed, frame_idx) ->
@@ -103,12 +103,18 @@ def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissiv
         #    −2Σ c_p δ_p that shifts the optimum; averaging p×p patches
         #    shrinks every noise projection by p² while global material
         #    parameters lose no constraints.
-        scene = apply_fn(scene, params)
-        inter = None if intersector_bind is None else intersector_bind(params)
-        img_a = render_image_rows(scene, camera, cfg, seed, frame_idx, y0,
-                                  rows_local, intersector=inter)
-        img_b = render_image_rows(scene, camera, cfg, seed, frame_idx + 10007,
-                                  y0, rows_local, intersector=inter)
+        if render_fn is not None:
+            img_a = render_fn(params, scene, camera, seed, frame_idx, y0,
+                              rows_local)
+            img_b = render_fn(params, scene, camera, seed, frame_idx + 10007,
+                              y0, rows_local)
+        else:
+            scene = apply_fn(scene, params)
+            inter = None if intersector_bind is None else intersector_bind(params)
+            img_a = render_image_rows(scene, camera, cfg, seed, frame_idx, y0,
+                                      rows_local, intersector=inter)
+            img_b = render_image_rows(scene, camera, cfg, seed, frame_idx + 10007,
+                                      y0, rows_local, intersector=inter)
         da = _pool(img_a - target_local, pool)
         db = _pool(img_b - target_local, pool)
         return jnp.mean(da * db)
@@ -154,6 +160,38 @@ def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissiv
         return params, loss
 
     return step
+
+
+def make_fused_recovery_step(mesh, scene, camera, cfg: RenderConfig,
+                             fields=("diffuse", "emissive"), lr: float = 0.5,
+                             optimizer=None, constraints=None, pool: int = 8,
+                             **tracer_kwargs):
+    """Sharded material recovery on the fused Pallas fwd+bwd kernels
+    (ops/pallas_grad.py): each device renders its band with the megakernel
+    forward and backpropagates through the in-kernel adjoint; parameter
+    gradients pmean across the mesh.  The multi-chip form of the r3 headline
+    fwd+bwd path — "the fast path × N workers" (reference engine.cpp:261-274).
+
+    ``params`` for the returned step is a dict of the selected table columns
+    (e.g. {"diffuse": [M,3], "emissive": [M,3]}).  Scene and camera are
+    baked into the kernels (recompile on change).  Raises ValueError when
+    the scene can't be specialized (use make_recovery_step then).
+    """
+    from fspt_tpu.ops.pallas_grad import make_grad_image_fn
+
+    img_fn = make_grad_image_fn(scene, camera, cfg, fields=fields,
+                                **tracer_kwargs)
+    if img_fn is None:
+        raise ValueError("scene can't use the fused kernels; "
+                         "use make_recovery_step")
+
+    def render_fn(params, _scene, _camera, seed, frame_idx, y0, rows):
+        img, _ = img_fn(params, seed, frame_idx, y0, rows)
+        return img
+
+    return make_recovery_step(mesh, cfg, param_names=fields, lr=lr,
+                              optimizer=optimizer, constraints=constraints,
+                              pool=pool, render_fn=render_fn)
 
 
 def make_vertex_recovery_step(mesh, cfg: RenderConfig, lr: float = 0.05,

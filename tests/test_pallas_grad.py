@@ -1,0 +1,125 @@
+"""Fused Pallas fwd+bwd tracer (ops/pallas_grad.py), interpret mode on CPU.
+
+The custom-VJP tracer must reproduce the planar replay's radiance AND its
+material-table gradients exactly — the planar path's gradients are
+themselves FD-verified (tests/test_diff_path.py), so agreement here pins
+the in-kernel adjoint to finite differences transitively.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fspt_tpu.config import RenderConfig
+from fspt_tpu.ops.diff_path import make_image_fn
+from fspt_tpu.ops.pallas_grad import (
+    make_grad_image_fn,
+    make_grad_path_tracer,
+    pack_params,
+    unpack_params,
+)
+
+from conftest import build_cornell_box
+
+
+def _setup(with_specular=True, **cfg_kw):
+    b = build_cornell_box(with_specular=with_specular)
+    scene = b.compile()
+    cam = b.cameras[0]
+    cfg = RenderConfig(**cfg_kw)
+    return scene, cam, cfg
+
+
+def test_grad_tracer_matches_planar_forward_and_grads():
+    scene, cam, cfg = _setup(width=16, height=16, spp=2, max_depth=4)
+    gi = make_grad_image_fn(scene, cam, cfg)
+    di = make_image_fn(scene, cfg, z_far=float(np.asarray(cam.z_far)))
+    params = {"diffuse": scene.materials.diffuse,
+              "emissive": scene.materials.emissive}
+
+    def loss_g(p):
+        img, segs = gi(p, 5, 0, 0, cfg.height)
+        return jnp.mean(img ** 2), (img, segs)
+
+    def loss_d(p):
+        table = scene.materials._replace(**p)
+        img, segs = di(table, cam, 5, 0, 0, cfg.height)
+        return jnp.mean(img ** 2), (img, segs)
+
+    (vg, (ig, sg)), gg = jax.value_and_grad(loss_g, has_aux=True)(params)
+    (vd, (idm, sd)), gd = jax.value_and_grad(loss_d, has_aux=True)(params)
+    np.testing.assert_allclose(float(vg), float(vd), rtol=1e-6)
+    assert int(sg) == int(sd)
+    np.testing.assert_allclose(np.asarray(ig), np.asarray(idm),
+                               rtol=1e-4, atol=1e-5)
+    for k in gg:
+        np.testing.assert_allclose(np.asarray(gg[k]), np.asarray(gd[k]),
+                                   rtol=1e-3, atol=1e-7, err_msg=k)
+
+
+def test_grad_tracer_band_offsets_cover_frame():
+    """Band-split gradients sum to the full-frame gradient (the sharding /
+    banding invariant the 1080p bench relies on)."""
+    scene, cam, cfg = _setup(with_specular=False,
+                             width=16, height=8, spp=1, max_depth=3)
+    gi = make_grad_image_fn(scene, cam, cfg)
+    params = {"diffuse": scene.materials.diffuse,
+              "emissive": scene.materials.emissive}
+
+    def band_loss(p, y0, rows):
+        img, _ = gi(p, 5, 0, y0, rows)
+        return jnp.sum(img ** 2)
+
+    g_full = jax.grad(lambda p: band_loss(p, 0, 8))(params)
+    g_a = jax.grad(lambda p: band_loss(p, 0, 4))(params)
+    g_b = jax.grad(lambda p: band_loss(p, 4, 4))(params)
+    for k in g_full:
+        np.testing.assert_allclose(
+            np.asarray(g_a[k]) + np.asarray(g_b[k]), np.asarray(g_full[k]),
+            rtol=1e-4, atol=1e-7, err_msg=k)
+
+
+def test_grad_tracer_glow_field_and_pack_roundtrip():
+    from fspt_tpu import materials as M
+    from fspt_tpu.materials import MaterialSpec
+
+    b = build_cornell_box()
+    glow = b.add_material(MaterialSpec(M.GLOW, diffuse=(0.4, 0.3, 0.2),
+                                       param=0.5, glow=(1.5, 0.5, 0.25)))
+    b.add_sphere((0.0, -20.0, -10.0), 8.0, glow)
+    scene = b.compile()
+    cam = b.cameras[0]
+    cfg = RenderConfig(width=12, height=12, spp=1, max_depth=3)
+
+    tracer = make_grad_path_tracer(scene, cam, cfg,
+                                   fields=("diffuse", "glow"))
+    params = {"diffuse": scene.materials.diffuse,
+              "glow": scene.materials.glow}
+    pvec = pack_params(params, tracer.fields)
+    back = unpack_params(pvec, tracer.mats, tracer.fields)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(back[k]),
+                                      np.asarray(params[k]))
+
+    def loss(pv):
+        out = tracer(pv, 3, 0)
+        return jnp.mean(out.radiance ** 2)
+
+    g = jax.grad(loss)(pvec)
+    gd = unpack_params(g, tracer.mats, tracer.fields)
+    assert np.isfinite(np.asarray(g)).all()
+    # The glow sphere's glow column must carry signal.
+    assert np.abs(np.asarray(gd["glow"])).max() > 0.0
+
+
+def test_grad_tracer_respects_specialization_envelope():
+    import numpy as np_
+
+    b = build_cornell_box()
+    from fspt_tpu.materials import DIFFUSE, MaterialSpec
+    tex = b.add_texture(np_.ones((4, 4, 3), np_.float32))
+    m = b.add_material(MaterialSpec(DIFFUSE, diffuse=(1, 1, 1), tex_id=tex))
+    b.add_sphere((0, 0, 0), 1.0, m)
+    scene = b.compile()
+    cfg = RenderConfig(width=8, height=8)
+    assert make_grad_path_tracer(scene, b.cameras[0], cfg) is None
