@@ -41,6 +41,7 @@ from fspt_tpu.ops.pallas_trace import (
     HostScene,
     LANE,
     MAX_SPECIALIZED_PRIMS,
+    _atan2,
     intersect_lanes,
 )
 from fspt_tpu.scene.geometry import INVALID_PARAM
@@ -171,7 +172,7 @@ def _refract(vx, vy, vz, nx, ny, nz, index):
 
 def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                     z_far_default: float, ops=MosaicOps, tmats=None,
-                    intersect=None):
+                    intersect=None, deferred_tex: bool = False):
     """Build the path-tracing body as a pure array function.
 
     ``core(h0_i32, sx, sy, sz, dx, dy, dz, pix_i32, smp_i32) →
@@ -187,18 +188,29 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
     * ``intersect`` overrides the closest-hit function
       ``(sx,sy,sz,dx,dy,dz) → (t, nx, ny, nz, mat, kind, u, v)``; defaults
       to the baked-primitive merge (ops/pallas_trace.intersect_lanes).
+    * ``deferred_tex``: texture-deferred mode.  Texture values never affect
+      path *geometry* (diffuse maps only scale radiance;
+      material.cpp:107-127), so the kernel traces the exact path and, per
+      depth, emits the affine structure of the radiance transfer instead of
+      folding it: ``coef_d = tex_d·s_d + k_d`` and ``bias_d = tex_d·se_d +
+      ke_d``.  The return becomes ``(slots, p_light, aovs..., segcnt)``
+      where ``slots`` is a list of per-depth dicts with planes
+      ``s, k0..2, se, ke0..2, u, v, mat``; the texture gather + fold +
+      depth-0 light clamp run outside (fold_deferred_radiance) where
+      per-lane gathers are cheap.  Radiance planes are not produced.
     """
     if tmats is None:
         tmats = mats
     if intersect is None:
         def intersect(sx, sy, sz, dx, dy, dz):
             return intersect_lanes(scene, sx, sy, sz, dx, dy, dz,
-                                   want_texcoords=False)
+                                   want_texcoords=deferred_tex)
     depth_count = cfg.effective_depth
     ray_offset = cfg.ray_offset
     ske = tmats.emissive[sky_idx]
     sky_e0, sky_e1, sky_e2 = ske[0] * 3.0, ske[1] * 3.0, ske[2] * 3.0
     # SampleSky ×3 (scene.cpp:157-162)
+    sky_textured = deferred_tex and int(mats.tex_id[sky_idx]) >= 0
     material_rows = list(range(mats.count))
 
     def core(h0_i32, sx, sy, sz, dx, dy, dz, pix_i32, smp_i32):
@@ -223,9 +235,20 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
         aov_d = zero
         aov_m = jnp.full(sx.shape, sky_idx, jnp.int32)
         p_light = jnp.zeros(sx.shape, bool)
+        slots = []
 
         for depth in range(depth_count):
             segcnt = segcnt + alive.astype(jnp.int32)
+
+            # Texture-deferred affine-transfer structure for this depth.
+            # k defaults to 1 so inactive lanes keep their throughput in the
+            # fold (the in-kernel form guards with `where(active, T*c, T)`).
+            sl_s = zero
+            sl_k0 = sl_k1 = sl_k2 = one
+            sl_se = zero
+            sl_ke0 = sl_ke1 = sl_ke2 = zero
+            sl_u = sl_v = zero
+            sl_mat = jnp.full(sx.shape, -1, jnp.int32)
 
             # Note: a whole-block early-exit (lax.cond around the intersect
             # once every lane is dead) was measured 15% SLOWER than straight-
@@ -253,17 +276,39 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                 dist2 = ddx * ddx + ddy * ddy + ddz * ddz
                 thresh = jnp.clip(dist2 * f_dens * 0.00005, 0.0, 1.0)
                 absorbed = f_active & (f_u < thresh) & alive
-                Lx = Lx + jnp.where(absorbed, Tx * f_dx, 0.0)
-                Ly = Ly + jnp.where(absorbed, Ty * f_dy, 0.0)
-                Lz = Lz + jnp.where(absorbed, Tz * f_dz, 0.0)
+                if deferred_tex:
+                    # Fog bias event: ke = fog diffuse (never textured;
+                    # shade_planar fdx parity).
+                    sl_ke0 = jnp.where(absorbed, f_dx, sl_ke0)
+                    sl_ke1 = jnp.where(absorbed, f_dy, sl_ke1)
+                    sl_ke2 = jnp.where(absorbed, f_dz, sl_ke2)
+                else:
+                    Lx = Lx + jnp.where(absorbed, Tx * f_dx, 0.0)
+                    Ly = Ly + jnp.where(absorbed, Ty * f_dy, 0.0)
+                    Lz = Lz + jnp.where(absorbed, Tz * f_dz, 0.0)
                 alive = alive & ~absorbed
                 f_active = jnp.zeros_like(f_active)
 
-            # Miss → sky (engine.cpp:92-101); constant-color sky only here.
+            # Miss → sky (engine.cpp:92-101).
             miss = alive & ~hit
-            Lx = Lx + jnp.where(miss, Tx * sky_e0, 0.0)
-            Ly = Ly + jnp.where(miss, Ty * sky_e1, 0.0)
-            Lz = Lz + jnp.where(miss, Tz * sky_e2, 0.0)
+            if deferred_tex and sky_textured:
+                # Textured sky: se=3 and sphere-map uv of the view direction
+                # (scene.cpp:157-162, intersect.cpp:779-784).
+                mvx, mvy, mvz = _norm3(dx, dy, dz)
+                sku = _atan2(mvx, mvz) / (2.0 * vm.PI) + 0.5
+                skv = 1.0 - (mvy * 0.5 + 0.5)
+                sl_se = jnp.where(miss, 3.0, sl_se)
+                sl_u = jnp.where(miss, sku, sl_u)
+                sl_v = jnp.where(miss, skv, sl_v)
+                sl_mat = jnp.where(miss, sky_idx, sl_mat)
+            elif deferred_tex:
+                sl_ke0 = jnp.where(miss, sky_e0 * one, sl_ke0)
+                sl_ke1 = jnp.where(miss, sky_e1 * one, sl_ke1)
+                sl_ke2 = jnp.where(miss, sky_e2 * one, sl_ke2)
+            else:
+                Lx = Lx + jnp.where(miss, Tx * sky_e0, 0.0)
+                Ly = Ly + jnp.where(miss, Ty * sky_e1, 0.0)
+                Lz = Lz + jnp.where(miss, Tz * sky_e2, 0.0)
 
             active = alive & hit
 
@@ -308,14 +353,20 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
             for mrow in material_rows:
                 msk = active & (hmat == mrow)
                 mtype = int(mats.mtype[mrow])
+                tex_row = deferred_tex and int(mats.tex_id[mrow]) >= 0
+                dsk = None  # deferred (s, k0, k1, k2) for textured coef rows
                 dif = tmats.diffuse[mrow]
                 d0, d1, d2 = dif[0], dif[1], dif[2]
 
                 if mtype == M.LIGHT:
-                    em = tmats.emissive[mrow]
-                    ex = jnp.where(msk, em[0] * one, ex)
-                    ey = jnp.where(msk, em[1] * one, ey)
-                    ez = jnp.where(msk, em[2] * one, ez)
+                    if tex_row:
+                        # Textured emission: bias = tex (material.cpp:38-44).
+                        sl_se = jnp.where(msk, 1.0, sl_se)
+                    else:
+                        em = tmats.emissive[mrow]
+                        ex = jnp.where(msk, em[0] * one, ex)
+                        ey = jnp.where(msk, em[1] * one, ey)
+                        ez = jnp.where(msk, em[2] * one, ez)
                     is_light_m = is_light_m | msk
                     continue
 
@@ -325,6 +376,8 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                     w = ndl > M.DIFFUSE_CONTRIB_THRESHOLD
                     nl = jnp.maximum(ndl, 0.0)
                     ccx, ccy, ccz = d0 * nl, d1 * nl, d2 * nl
+                    if tex_row:
+                        dsk = (nl, zero, zero, zero)
                 elif mtype == M.METAL:
                     rough = tmats.param[mrow]
                     rough_s = float(mats.param[mrow])  # static lobe regime
@@ -335,6 +388,8 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                     nl = jnp.maximum(ndl, 0.0)
                     f = rough * nl + (1.0 - rough)
                     ccx, ccy, ccz = d0 * f, d1 * f, d2 * f
+                    if tex_row:
+                        dsk = (f, zero, zero, zero)
                 elif mtype == M.MIRROR:
                     ox, oy, oz = rx, ry, rz
                     w = jnp.ones_like(msk)
@@ -352,6 +407,8 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                     ccy = spec + d1 * nl * (1.0 - spec)
                     ccz = spec + d2 * nl * (1.0 - spec)
                     w = jnp.ones_like(msk)
+                    if tex_row:
+                        dsk = (nl * (1.0 - spec), spec, spec, spec)
                     if mtype == M.GLOW:
                         gl = tmats.glow[mrow]
                         ex = jnp.where(msk, gl[0] * one, ex)
@@ -410,9 +467,21 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                 bx = jnp.where(msk, ox, bx)
                 by = jnp.where(msk, oy, by)
                 bz = jnp.where(msk, oz, bz)
-                cx = jnp.where(msk, ccx, cx)
-                cy = jnp.where(msk, ccy, cy)
-                cz = jnp.where(msk, ccz, cz)
+                if deferred_tex:
+                    if dsk is None:  # untextured coef: constant part only
+                        sl_k0 = jnp.where(msk, ccx, sl_k0)
+                        sl_k1 = jnp.where(msk, ccy, sl_k1)
+                        sl_k2 = jnp.where(msk, ccz, sl_k2)
+                    else:
+                        sv, kk0, kk1, kk2 = dsk
+                        sl_s = jnp.where(msk, sv, sl_s)
+                        sl_k0 = jnp.where(msk, kk0, sl_k0)
+                        sl_k1 = jnp.where(msk, kk1, sl_k1)
+                        sl_k2 = jnp.where(msk, kk2, sl_k2)
+                else:
+                    cx = jnp.where(msk, ccx, cx)
+                    cy = jnp.where(msk, ccy, cy)
+                    cz = jnp.where(msk, ccz, cz)
                 will = will | (msk & w)
 
             if depth == 0:
@@ -440,12 +509,25 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                 f_dens = jnp.where(mark, fog_dens_m, f_dens)
                 f_u = jnp.where(mark, u3, f_u)
 
-            Lx = Lx + jnp.where(active, Tx * ex, 0.0)
-            Ly = Ly + jnp.where(active, Ty * ey, 0.0)
-            Lz = Lz + jnp.where(active, Tz * ez, 0.0)
-            Tx = jnp.where(active, Tx * cx, Tx)
-            Ty = jnp.where(active, Ty * cy, Ty)
-            Tz = jnp.where(active, Tz * cz, Tz)
+            if deferred_tex:
+                # Untextured emission (lights/glow) accumulated in ex; the
+                # active mask is disjoint from the absorbed/miss ke events.
+                sl_ke0 = jnp.where(active, ex, sl_ke0)
+                sl_ke1 = jnp.where(active, ey, sl_ke1)
+                sl_ke2 = jnp.where(active, ez, sl_ke2)
+                sl_mat = jnp.where(active, hmat, sl_mat)
+                sl_u = jnp.where(active, huu, sl_u)
+                sl_v = jnp.where(active, hvv, sl_v)
+                slots.append(dict(s=sl_s, k0=sl_k0, k1=sl_k1, k2=sl_k2,
+                                  se=sl_se, ke0=sl_ke0, ke1=sl_ke1,
+                                  ke2=sl_ke2, u=sl_u, v=sl_v, mat=sl_mat))
+            else:
+                Lx = Lx + jnp.where(active, Tx * ex, 0.0)
+                Ly = Ly + jnp.where(active, Ty * ey, 0.0)
+                Lz = Lz + jnp.where(active, Tz * ez, 0.0)
+                Tx = jnp.where(active, Tx * cx, Tx)
+                Ty = jnp.where(active, Ty * cy, Ty)
+                Tz = jnp.where(active, Tz * cz, Tz)
 
             sx = jnp.where(active, px + bx * ray_offset, sx)
             sy = jnp.where(active, py + by * ray_offset, sy)
@@ -458,9 +540,22 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
             alive = active & will
 
         if cfg.fast_render:
-            Lx = Lx + jnp.where(alive, Tx, 0.0)
-            Ly = Ly + jnp.where(alive, Ty, 0.0)
-            Lz = Lz + jnp.where(alive, Tz, 0.0)
+            if deferred_tex:
+                # White terminal bias (engine.cpp:67-70) as an extra slot.
+                wht = jnp.where(alive, 1.0, 0.0)
+                slots.append(dict(s=zero, k0=one, k1=one, k2=one, se=zero,
+                                  ke0=wht, ke1=wht, ke2=wht, u=zero, v=zero,
+                                  mat=jnp.full(sx.shape, -1, jnp.int32)))
+            else:
+                Lx = Lx + jnp.where(alive, Tx, 0.0)
+                Ly = Ly + jnp.where(alive, Ty, 0.0)
+                Lz = Lz + jnp.where(alive, Tz, 0.0)
+
+        if deferred_tex:
+            # Radiance fold + depth-0 light clamp happen outside
+            # (fold_deferred_radiance) where texel gathers are cheap.
+            return (slots, p_light, aov_nx, aov_ny, aov_nz, aov_d, aov_m,
+                    segcnt)
 
         # Depth-0 light tone clamp (engine.cpp:148-151).
         n2 = Lx * Lx + Ly * Ly + Lz * Lz
@@ -562,6 +657,138 @@ def make_path_tracer(scene_pack, cfg, z_far: float = 10000.0,
         am, segc = [o.reshape(-1)[:n] for o in outs[7:]]
         return TraceOutput(
             radiance=jnp.stack([lx, ly, lz], axis=-1),
+            aov_normal=jnp.stack([anx, any_, anz], axis=-1),
+            aov_depth=ad,
+            aov_mat=am,
+            segments=jnp.sum(segc),
+        )
+
+    return trace
+
+
+def fold_deferred_radiance(table, tex, cfg, s, k0, k1, k2, se, ke0, ke1, ke2,
+                           u, v, mat, p_light):
+    """XLA epilogue for texture-deferred kernels.
+
+    All slot fields are ``[S, N]`` planes from the kernel.  Per slot,
+    gathers the texel ``t = texture(tex_id[mat], uv)`` (fallback 1 where
+    ``s``/``se`` are zero anyway) and folds the affine transfer
+    ``L += T·(t·se + ke); T *= (t·s + k)``, then applies the depth-0 light
+    tone clamp (engine.cpp:148-151).  Differentiable w.r.t. the texel
+    buffer — texture recovery comes for free.
+    """
+    from fspt_tpu import materials as M
+
+    n = s.shape[1]
+    one = jnp.ones((n,), jnp.float32)
+    Tx = Ty = Tz = one
+    Lx = Ly = Lz = jnp.zeros((n,), jnp.float32)
+    for d in range(s.shape[0]):
+        m = mat[d]
+        safe = jnp.maximum(m, 0)
+        tid = jnp.where(m >= 0, table.tex_id[safe], -1)
+        tsc = table.tex_scale[safe]
+        t0, t1, t2 = M.sample_texture_p(tex, tid, tsc, u[d], v[d],
+                                        one, one, one)
+        Lx = Lx + Tx * (t0 * se[d] + ke0[d])
+        Ly = Ly + Ty * (t1 * se[d] + ke1[d])
+        Lz = Lz + Tz * (t2 * se[d] + ke2[d])
+        Tx = Tx * (t0 * s[d] + k0[d])
+        Ty = Ty * (t1 * s[d] + k1[d])
+        Tz = Tz * (t2 * s[d] + k2[d])
+
+    n2 = Lx * Lx + Ly * Ly + Lz * Lz
+    norm = jnp.sqrt(jnp.maximum(n2, 1e-20))
+    clampm = p_light & (norm > cfg.light_clamp)
+    sc = jnp.where(clampm, cfg.light_clamp / norm, 1.0)
+    return Lx * sc, Ly * sc, Lz * sc
+
+
+def _make_deferred_camera_tracer(scene_pack, camera, cfg, scene, mats,
+                                 sky_idx, block_rows, interpret):
+    """Texture-deferred camera-fused megakernel (see build_path_core
+    ``deferred_tex``): the kernel traces the exact path and emits per-depth
+    affine-transfer structure; texel gathers + fold run in XLA."""
+    from fspt_tpu.render.integrator import TraceOutput
+
+    cam = HostCamera(camera, cfg.width, cfg.height)
+    core = build_path_core(scene, mats, cfg, sky_idx, cam.z_far,
+                           ops=MosaicOps, deferred_tex=True)
+    raygen = build_fused_raygen(cam, cfg)
+    n_slots = cfg.effective_depth + (1 if cfg.fast_render else 0)
+    F = 10  # s,k0..2,se,ke0..2,u,v
+
+    def kernel(h0_ref, s0_ref, lane0_ref, *out_refs):
+        f_refs = out_refs[:F]
+        mat_ref = out_refs[F]
+        pl_ref = out_refs[F + 1]
+        anx_ref, any_ref, anz_ref, ad_ref = out_refs[F + 2:F + 6]
+        am_ref, seg_ref = out_refs[F + 6:F + 8]
+        shape = pl_ref.shape
+        pid = pl.program_id(0)
+        sx, sy, sz, dx, dy, dz, pix_i, smp_i = raygen(
+            h0_ref[0], s0_ref[0], lane0_ref[0], shape, pid)
+        h0_i = jnp.full(shape, h0_ref[0], jnp.int32)
+        slots, p_light, anx, any_, anz, ad, am, seg = core(
+            h0_i, sx, sy, sz, dx, dy, dz, pix_i, smp_i)
+        names = ("s", "k0", "k1", "k2", "se", "ke0", "ke1", "ke2", "u", "v")
+        for d, sl in enumerate(slots):
+            for fi, nm in enumerate(names):
+                f_refs[fi][d] = sl[nm]
+            mat_ref[d] = sl["mat"]
+        pl_ref[:] = p_light.astype(jnp.int32)
+        anx_ref[:], any_ref[:], anz_ref[:], ad_ref[:] = anx, any_, anz, ad
+        am_ref[:], seg_ref[:] = am, seg
+
+    def trace(seed, sample0, lane0=0, n_lanes=None):
+        from fspt_tpu.ops import rng as rng_mod
+
+        n = n_lanes if n_lanes is not None else cfg.height * cfg.width * cfg.spp
+        rows = pl.cdiv(n, LANE)
+        pad_rows = pl.cdiv(rows, block_rows) * block_rows
+
+        seed_u = jnp.asarray(seed).astype(jnp.uint32)
+        h0 = rng_mod.pcg_hash(seed_u ^ jnp.uint32(0x9E3779B9))
+        h0 = jax.lax.bitcast_convert_type(h0, jnp.int32).reshape(1)
+        s0 = jnp.asarray(sample0, jnp.int32).reshape(1)
+        l0 = jnp.asarray(lane0, jnp.int32).reshape(1)
+
+        grid = (pad_rows // block_rows,)
+        slot_bspec = pl.BlockSpec((n_slots, block_rows, LANE),
+                                  lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)
+        bspec = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        f32 = jnp.float32
+        slot_shape = (n_slots, pad_rows, LANE)
+        out_shapes = [jax.ShapeDtypeStruct(slot_shape, f32)] * F
+        out_shapes += [jax.ShapeDtypeStruct(slot_shape, jnp.int32)]
+        out_shapes += [jax.ShapeDtypeStruct((pad_rows, LANE), jnp.int32)]
+        out_shapes += [jax.ShapeDtypeStruct((pad_rows, LANE), f32)] * 4
+        out_shapes += [jax.ShapeDtypeStruct((pad_rows, LANE), jnp.int32)] * 2
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[sspec] * 3,
+            out_specs=[slot_bspec] * (F + 1) + [bspec] * 7,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(h0, s0, l0)
+
+        flat = lambda a: a.reshape(n_slots, -1)[:, :n]
+        fields = [flat(o) for o in outs[:F]]
+        mat = flat(outs[F])
+        pl_mask = outs[F + 1].reshape(-1)[:n] != 0
+        anx, any_, anz, ad = [o.reshape(-1)[:n] for o in outs[F + 2:F + 6]]
+        am, segc = [o.reshape(-1)[:n] for o in outs[F + 6:F + 8]]
+
+        Lx, Ly, Lz = fold_deferred_radiance(
+            scene_pack.materials, scene_pack.textures, cfg, *fields, mat,
+            pl_mask)
+        return TraceOutput(
+            radiance=jnp.stack([Lx, Ly, Lz], axis=-1),
             aov_normal=jnp.stack([anx, any_, anz], axis=-1),
             aov_depth=ad,
             aov_mat=am,
@@ -691,20 +918,26 @@ def make_camera_path_tracer(scene_pack, camera, cfg,
     jitter, thin-lens DoF (engine.cpp:205-244) and the full path trace all
     happen in VMEM.  Returns ``fn(seed, sample0, lane0=0, n_lanes=None) →
     TraceOutput`` or None if the scene can't be specialized.
+
+    Textured scenes (diffuse maps / textured sky, material.cpp:107-127) use
+    the texture-deferred variant: same in-kernel path trace, with texel
+    gathers + the radiance fold in an XLA epilogue (texture size unlimited).
     """
     from fspt_tpu.render.integrator import TraceOutput
 
     if scene_pack.bvh is not None:
         return None  # BVH triangle scenes use ops/pallas_bvh.py / XLA path
     mats = HostMaterials(scene_pack.materials)
-    if mats.any_textured:
-        return None
     scene = HostScene(scene_pack.geometry)
     if scene.prim_count > MAX_SPECIALIZED_PRIMS:
         return None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     sky_idx = int(scene_pack.sky_mat)
+    if mats.any_textured:
+        return _make_deferred_camera_tracer(scene_pack, camera, cfg, scene,
+                                            mats, sky_idx, block_rows,
+                                            interpret)
     cam = HostCamera(camera, cfg.width, cfg.height)
     core = build_path_core(scene, mats, cfg, sky_idx, cam.z_far,
                            ops=MosaicOps)

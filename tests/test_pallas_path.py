@@ -80,7 +80,10 @@ def test_megakernel_band_offset():
     np.testing.assert_array_equal(np.asarray(full.radiance), got)
 
 
-def test_textured_scene_returns_none():
+def test_textured_scene_gets_deferred_tracer():
+    """Textured scenes no longer fall off the megakernel (r3): they get the
+    texture-deferred variant (full parity in test_textures.py); the rays-in
+    tracer still declines them."""
     import numpy as np
     b = build_cornell_box()
     tex = b.add_texture(np.ones((4, 4, 3), np.float32))
@@ -89,4 +92,5 @@ def test_textured_scene_returns_none():
     b.add_sphere((0, 0, 0), 1.0, m)
     scene = b.compile()
     cfg = RenderConfig(width=8, height=8, spp=1)
-    assert make_camera_path_tracer(scene, b.cameras[0], cfg) is None
+    assert make_camera_path_tracer(scene, b.cameras[0], cfg) is not None
+    assert make_path_tracer(scene, cfg) is None

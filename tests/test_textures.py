@@ -57,14 +57,32 @@ def test_textured_render_matches_oracle():
     assert float(img.max()) > 0.1  # textures actually sampled
 
 
-def test_textured_scene_uses_pallas_intersect_path():
-    """Megakernel declines textures; pallas intersect + XLA shade matches."""
+def test_textured_megakernel_matches_integrator():
+    """Texture-deferred megakernel (r3): the in-kernel path trace emits the
+    affine radiance structure; the XLA fold gathers texels.  Must match the
+    oracle-verified integrator on a scene exercising textured diffuse,
+    textured light, and textured sky."""
     from fspt_tpu.ops.pallas_path import make_camera_path_tracer
 
     b = _build()
     scene = b.compile()
+    cfg = RenderConfig(width=20, height=16, spp=2, max_depth=4)
+    tracer = make_camera_path_tracer(scene, b.cameras[0], cfg)
+    assert tracer is not None
+    out_mk = tracer(13, 0)
+    out_ref = integrator.render_wavefront(scene, b.cameras[0], cfg, 13, 0)
+    assert_images_close(out_mk.radiance, out_ref.radiance, rtol=1e-3,
+                        atol=1e-5, frac=0.995)
+    assert int(out_mk.segments) == int(out_ref.segments)
+    np.testing.assert_array_equal(np.asarray(out_mk.aov_mat),
+                                  np.asarray(out_ref.aov_mat))
+
+
+def test_textured_scene_uses_pallas_intersect_path():
+    """The pallas intersect + XLA shade fallback also matches."""
+    b = _build()
+    scene = b.compile()
     cfg = RenderConfig(width=16, height=12, spp=1, max_depth=3)
-    assert make_camera_path_tracer(scene, b.cameras[0], cfg) is None
     inter = make_pallas_intersector(scene.geometry)
     assert inter is not None
     out_ref = integrator.render_wavefront(scene, b.cameras[0], cfg, 3, 0)
