@@ -54,11 +54,42 @@ def load_bmp(path: str) -> np.ndarray:
 _EXR_MAGIC = 20000630
 _PIX_UINT, _PIX_HALF, _PIX_FLOAT = 0, 1, 2
 _COMP_NONE, _COMP_RLE, _COMP_ZIPS, _COMP_ZIP = 0, 1, 2, 3
+_COMP_NAMES = {4: "PIZ", 5: "PXR24", 6: "B44", 7: "B44A", 8: "DWAA",
+               9: "DWAB"}
 
 
 def _read_cstr(data, off):
     end = data.index(b"\x00", off)
     return data[off:end].decode("latin-1"), end + 1
+
+
+def _rle_decode(src: bytes) -> bytes:
+    """OpenEXR RLE: signed count c — c < 0 → −c literal bytes follow;
+    c ≥ 0 → the next byte repeats c+1 times (tiny_exr_loader.h RLE path)."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        if c > 127:  # negative int8 → literal run
+            cnt = 256 - c
+            out += src[i + 1: i + 1 + cnt]
+            i += 1 + cnt
+        else:
+            out += src[i + 1: i + 2] * (c + 1)
+            i += 2
+    return bytes(out)
+
+
+def _exr_unpredict(raw: bytes) -> bytes:
+    """Undo the EXR delta predictor + two-half interleave (shared by the
+    ZIP/ZIPS and RLE codecs)."""
+    buf = np.frombuffer(raw, np.uint8).astype(np.int64)
+    deltas = np.cumsum(np.concatenate([buf[:1], (buf[1:] - 128)])).astype(np.uint8)
+    half = (len(deltas) + 1) // 2
+    out = np.zeros(len(deltas), np.uint8)
+    out[0::2] = deltas[:half]
+    out[1::2] = deltas[half: half + len(deltas) - half]
+    return out.tobytes()
 
 
 def load_exr(path: str) -> np.ndarray:
@@ -108,10 +139,14 @@ def load_exr(path: str) -> np.ndarray:
 
     if compression == _COMP_ZIP:
         lines_per_block = 16
-    elif compression in (_COMP_NONE, _COMP_ZIPS):
+    elif compression in (_COMP_NONE, _COMP_ZIPS, _COMP_RLE):
         lines_per_block = 1
     else:
-        raise ValueError(f"{path}: unsupported EXR compression {compression}")
+        name = _COMP_NAMES.get(compression, str(compression))
+        raise ValueError(
+            f"{path}: EXR compression {name} is not supported "
+            "(supported: NONE, RLE, ZIPS, ZIP). Re-encode the file, e.g. "
+            "`oiiotool in.exr --compression zip -o out.exr`.")
 
     n_blocks = (height + lines_per_block - 1) // lines_per_block
     offsets = struct.unpack_from(f"<{n_blocks}Q", data, off)
@@ -127,15 +162,9 @@ def load_exr(path: str) -> np.ndarray:
             width * n_lines * np.dtype(dtype_of[pt]).itemsize for _, pt in channels
         )
         if compression in (_COMP_ZIP, _COMP_ZIPS) and size < expect:
-            raw = zlib.decompress(raw)
-            # EXR zip: de-delta (mod 256) then de-interleave the two halves.
-            buf = np.frombuffer(raw, np.uint8).astype(np.int64)
-            deltas = np.cumsum(np.concatenate([buf[:1], (buf[1:] - 128)])).astype(np.uint8)
-            half = (len(deltas) + 1) // 2
-            out = np.zeros(len(deltas), np.uint8)
-            out[0::2] = deltas[:half]
-            out[1::2] = deltas[half: half + len(deltas) - half]
-            raw = out.tobytes()
+            raw = _exr_unpredict(zlib.decompress(raw))
+        elif compression == _COMP_RLE and size < expect:
+            raw = _exr_unpredict(_rle_decode(raw))
         pos = 0
         for line in range(n_lines):
             yy = y - y0 + line

@@ -204,3 +204,102 @@ def test_denoiser_improves_mse():
 
     assert mse_denoised < mse_noisy * 0.5, (mse_noisy, mse_denoised)
     assert mse_denoised < mse_4x, (mse_denoised, mse_4x)
+
+
+def test_exr_reader_rle_compression(tmp_path):
+    """Hand-built RLE scanline EXR (predictor + two-half interleave + RLE),
+    matching tiny_exr_loader.h's RLE path."""
+    w, h = 8, 2
+    vals = np.zeros((h, w, 3), np.float16)
+    vals[:, :, 0] = 0.5  # constant R plane → long runs
+    vals[:, :, 1] = np.arange(w, dtype=np.float16) / 8.0
+    vals[:, :, 2] = 0.25
+
+    def rle_encode(src: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(src):
+            run = 1
+            while (i + run < len(src) and run < 127
+                   and src[i + run] == src[i]):
+                run += 1
+            if run >= 3:
+                out += bytes([run - 1, src[i]])
+                i += run
+            else:
+                j = i + 1
+                while (j < len(src) and j - i < 127
+                       and not (j + 2 < len(src)
+                                and src[j] == src[j + 1] == src[j + 2])):
+                    j += 1
+                out += bytes([256 - (j - i)]) + src[i:j]
+                i = j
+        return bytes(out)
+
+    def predict(raw: bytes) -> bytes:
+        t = np.concatenate([np.frombuffer(raw, np.uint8)[0::2],
+                            np.frombuffer(raw, np.uint8)[1::2]]).astype(np.int64)
+        d = np.empty_like(t)
+        d[0] = t[0]
+        d[1:] = (t[1:] - t[:-1] + 128) % 256
+        return d.astype(np.uint8).tobytes()
+
+    def attr(name, atype, payload):
+        return name.encode() + b"\x00" + atype.encode() + b"\x00" + \
+            struct.pack("<I", len(payload)) + payload
+
+    chan = b""
+    for cname in ("B", "G", "R"):
+        chan += cname.encode() + b"\x00" + struct.pack("<i", 1) + b"\x00" * 4 + \
+            struct.pack("<ii", 1, 1)
+    chan += b"\x00"
+    header = struct.pack("<iI", 20000630, 2)
+    header += attr("channels", "chlist", chan)
+    header += attr("compression", "compression", b"\x01")  # RLE
+    header += attr("dataWindow", "box2i", struct.pack("<4i", 0, 0, w - 1, h - 1))
+    header += attr("displayWindow", "box2i", struct.pack("<4i", 0, 0, w - 1, h - 1))
+    header += attr("lineOrder", "lineOrder", b"\x00")
+    header += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    header += attr("screenWindowCenter", "v2f", struct.pack("<2f", 0, 0))
+    header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    header += b"\x00"
+
+    offset_table_pos = len(header)
+    data_start = offset_table_pos + 8 * h
+    blocks = b""
+    offsets = []
+    for y in range(h):
+        offsets.append(data_start + len(blocks))
+        payload = b""
+        for cname in ("B", "G", "R"):
+            comp = {"R": 0, "G": 1, "B": 2}[cname]
+            payload += vals[y, :, comp].tobytes()
+        enc = rle_encode(predict(payload))
+        assert len(enc) < len(payload)  # must actually compress
+        blocks += struct.pack("<iI", y, len(enc)) + enc
+    p = tmp_path / "t_rle.exr"
+    p.write_bytes(header + struct.pack(f"<{h}Q", *offsets) + blocks)
+
+    img = img_mod.load_exr(str(p))
+    np.testing.assert_allclose(img, vals.astype(np.float32), atol=1e-3)
+
+
+def test_exr_reader_piz_clear_error(tmp_path):
+    """Unsupported codecs fail with an actionable message (VERDICT r2 #10)."""
+    import pytest
+
+    def attr(name, atype, payload):
+        return name.encode() + b"\x00" + atype.encode() + b"\x00" + \
+            struct.pack("<I", len(payload)) + payload
+
+    chan = b"R\x00" + struct.pack("<i", 1) + b"\x00" * 4 + \
+        struct.pack("<ii", 1, 1) + b"\x00"
+    header = struct.pack("<iI", 20000630, 2)
+    header += attr("channels", "chlist", chan)
+    header += attr("compression", "compression", b"\x04")  # PIZ
+    header += attr("dataWindow", "box2i", struct.pack("<4i", 0, 0, 1, 1))
+    header += b"\x00"
+    p = tmp_path / "t_piz.exr"
+    p.write_bytes(header)
+    with pytest.raises(ValueError, match="PIZ.*zip"):
+        img_mod.load_exr(str(p))
