@@ -1,8 +1,13 @@
-"""fwd+bwd throughput experiment (dev tool): value_and_grad of a dual-buffer
-material-recovery loss on the flagship Cornell-class scene, banded 1080p 4spp.
+"""fwd+bwd throughput comparison (dev tool): value_and_grad of the
+dual-buffer material-recovery loss on the flagship scene, banded 1080p 4spp
+(BASELINE.json headline config), across the three differentiable paths:
 
-BASELINE.json's headline metric names "rays/sec/chip fwd+bwd at 4spp 1080p";
-this script measures candidate configurations before bench.py adopts one.
+* ``integrator`` — general XLA wavefront integrator (r2 baseline, ~8 Mrays/s)
+* ``planar``     — planar XLA replay, ops/diff_path.py (~95 Mrays/s)
+* ``fused``      — Pallas fwd + in-kernel-adjoint bwd, ops/pallas_grad.py
+                   (~260 Mrays/s; what bench.py ships)
+
+    python examples/profile_fwdbwd.py [fused planar integrator ...]
 """
 
 import os
@@ -13,42 +18,56 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run(width=1920, height=1080, spp=4, max_depth=8, band_rows=27,
-        iters=3):
+def run(path="fused", width=1920, height=1080, spp=4, max_depth=8,
+        band_rows=270, iters=2):
     from bench import build_bench_scene
     from fspt_tpu.config import RenderConfig
-    from fspt_tpu.ops.pallas_trace import make_pallas_intersector
-    from fspt_tpu.render import integrator
 
     builder = build_bench_scene()
     scene = builder.compile()
     camera = builder.cameras[0]
     cfg = RenderConfig(width=width, height=height, spp=spp,
                        max_depth=max_depth)
-    fast = make_pallas_intersector(scene.geometry)
-    sg = jax.lax.stop_gradient
 
-    def inter(start, seg):
-        return fast(sg(start), sg(seg))
+    if path == "fused":
+        from fspt_tpu.ops.pallas_grad import make_grad_image_fn
 
-    def band_img(params, y0, seed, f0):
-        table = scene.materials._replace(**params)
-        sc = scene._replace(materials=table)
-        out = integrator.render_wavefront(sc, camera, cfg, seed,
-                                          f0 * cfg.spp, y0=y0,
-                                          rows=band_rows, intersector=inter)
-        img = out.radiance.reshape(band_rows, width, spp, 3).mean(axis=2)
-        return img, out.segments
+        gi = make_grad_image_fn(scene, camera, cfg)
+        img_fn = lambda p, seed, f0, y0, rows: gi(p, seed, f0, y0, rows)
+    elif path == "planar":
+        from fspt_tpu.ops.diff_path import make_image_fn
+
+        di = make_image_fn(scene, cfg, z_far=float(np.asarray(camera.z_far)))
+
+        def img_fn(p, seed, f0, y0, rows):
+            return di(scene.materials._replace(**p), camera, seed, f0, y0,
+                      rows)
+    else:  # integrator
+        from fspt_tpu.ops.pallas_trace import make_pallas_intersector
+        from fspt_tpu.render import integrator
+
+        fast = make_pallas_intersector(scene.geometry)
+        sg = jax.lax.stop_gradient
+        inter = lambda s, g: fast(sg(s), sg(g))
+
+        def img_fn(p, seed, f0, y0, rows):
+            sc = scene._replace(materials=scene.materials._replace(**p))
+            out = integrator.render_wavefront(sc, camera, cfg, seed,
+                                              f0 * cfg.spp, y0=y0, rows=rows,
+                                              intersector=inter)
+            img = out.radiance.reshape(rows, width, spp, 3).mean(axis=2)
+            return img, out.segments
 
     def loss_fn(params, y0, target, f0):
-        a, sa = band_img(params, y0, 7, f0)
-        b, sb = band_img(params, y0, 7, f0 + 10007)
+        a, sa = img_fn(params, 7, f0, y0, band_rows)
+        b, sb = img_fn(params, 7, f0 + 10007, y0, band_rows)
         da, db = a - target, b - target
         return jnp.mean(da * db), sa + sb
 
@@ -56,42 +75,23 @@ def run(width=1920, height=1080, spp=4, max_depth=8, band_rows=27,
     params = {"diffuse": scene.materials.diffuse,
               "emissive": scene.materials.emissive}
     target = jnp.zeros((band_rows, width, 3), jnp.float32)
-
     n_bands = height // band_rows
-    lanes = band_rows * width * spp
-    log(f"fwd+bwd {width}x{height}x{spp} depth={max_depth}: {n_bands} bands "
-        f"of {band_rows} rows ({lanes} lanes)")
     t0 = time.time()
-    (loss, segs), grads = grad_fn(params, 0, target, 1)
+    (_, segs), grads = grad_fn(params, 0, target, 1)
     jax.block_until_ready(grads)
-    log(f"  compile+first: {time.time()-t0:.1f}s  segs/band(double)={int(segs)}")
-
-    best = 0.0
+    log(f"{path}: compile+first {time.time()-t0:.1f}s segs={int(segs)}")
     for it in range(iters):
         t0 = time.time()
         total = 0
         for bnd in range(n_bands):
-            (loss, segs), grads = grad_fn(params, bnd * band_rows, target,
-                                          it * n_bands + bnd + 2)
-            total += int(segs)
+            (_, s), grads = grad_fn(params, bnd * band_rows, target,
+                                    it * n_bands + bnd + 2)
+            total += int(s)
         jax.block_until_ready(grads)
         dt = time.time() - t0
-        best = max(best, total / dt)
-        log(f"  iter {it}: {dt*1e3:.0f} ms, {total} segs, "
-            f"{total/dt/1e6:.1f} Mrays/s fwd+bwd")
-    return best
-
-
-def main():
-    for rows in (27, 54, 135):
-        if 1080 % rows:
-            continue
-        try:
-            r = run(band_rows=rows)
-            log(f"RESULT rows={rows}: {r/1e6:.1f} Mrays/s fwd+bwd")
-        except Exception as e:
-            log(f"FAILED rows={rows}: {type(e).__name__}: {e}")
+        log(f"{path} iter {it}: {dt*1e3:.0f} ms, {total/dt/1e6:.1f} Mrays/s")
 
 
 if __name__ == "__main__":
-    main()
+    for p in (sys.argv[1:] or ["fused"]):
+        run(p)

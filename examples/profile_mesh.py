@@ -1,17 +1,29 @@
-"""Stage-level timing breakdown of the 100k-tri mesh path (dev tool).
+"""Mesh-path profiler (dev tool) — consolidates the r2 experiment scripts.
 
-Times each stage of the culled-treelet intersector independently on the
-current backend so optimization effort goes where the milliseconds are:
-  sort (6-D Morton argsort) / cull (XLA frustum x treelet slab tests +
-  argsort) / sweep (Pallas MXU kernel) / analytic base / full bounce loop.
+Two modes:
+
+* ``stages`` (default): time each stage of the culled-treelet intersector
+  independently — 6-D Morton sort, analytic base, culled traverse on
+  coherent and shuffled wavefronts, full intersector, full frame — so
+  optimization effort goes where the milliseconds are (PERF_NOTES.md
+  ledger).
+* ``sweep``: parameterized throughput runs over kernel knobs
+  (``--block-rays/--sub-bundles/--group/--band-rows/--no-sort``), banded
+  like bench.py:bench_mesh.
+
+    python examples/profile_mesh.py stages [width height spp]
+    python examples/profile_mesh.py sweep --block-rays 128 256 --band-rows 256
 """
 
+import argparse
 import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def log(*a):
@@ -29,8 +41,7 @@ def timeit(fn, *args, iters=3, warmup=1):
     return best
 
 
-def main(width=512, height=512, spp=2):
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+def stages(width=512, height=512, spp=2):
     from bench import build_mesh_scene
     from fspt_tpu.camera import generate_rays
     from fspt_tpu.config import RenderConfig
@@ -62,7 +73,6 @@ def main(width=512, height=512, spp=2):
     lo = np.minimum(v0, np.minimum(v1, v2)).min(axis=0)
     hi = np.maximum(v0, np.maximum(v1, v2)).max(axis=0)
 
-    # 1. Morton sort + inverse permute
     def sort_only(s, g):
         key = pb.morton_keys(s, g, None, jnp.asarray(lo), jnp.asarray(hi))
         o = jnp.argsort(key)
@@ -72,30 +82,25 @@ def main(width=512, height=512, spp=2):
     t = timeit(jax.jit(sort_only), start, seg)
     log(f"sort+unsort: {t*1e3:.1f} ms")
 
-    # 2. analytic base intersector
     base_fn = make_pallas_intersector(scene.geometry)
     t = timeit(jax.jit(lambda s, g: base_fn(s, g).t), start, seg)
     log(f"analytic base: {t*1e3:.1f} ms")
 
-    # full culled traverser (cull + sweep together)
     trav = pb.make_culled_traverser(coarse, block_rays=128, group=8)
     t_init = jnp.full((n,), 1.0, jnp.float32)
     t = timeit(jax.jit(lambda s, g, ti: trav(s, g, ti)[0]), start, seg, t_init)
     log(f"culled traverse (primary, coherent): {t*1e3:.1f} ms")
 
-    # shuffled wavefront = bounce-like incoherence
     key = jax.random.PRNGKey(0)
     perm = jax.random.permutation(key, n)
     ss, gs = start[perm], seg[perm]
     t = timeit(jax.jit(lambda s, g, ti: trav(s, g, ti)[0]), ss, gs, t_init)
     log(f"culled traverse (shuffled, incoherent): {t*1e3:.1f} ms")
 
-    # 3. full intersector call (sort + base + cull + sweep + gathers)
     inter = pb.make_mesh_intersector(scene)
     t = timeit(jax.jit(lambda s, g: inter(s, g).t), start, seg)
     log(f"full intersector (primary): {t*1e3:.1f} ms")
 
-    # 4. one full frame
     from fspt_tpu.render import integrator
     fn = jax.jit(lambda: integrator.render_wavefront(
         scene, camera, cfg, 7, 0, intersector=inter).segments)
@@ -105,5 +110,70 @@ def main(width=512, height=512, spp=2):
         f"→ {segs/t/1e6:.2f} Mrays/s")
 
 
+def sweep_one(block_rays, sub_bundles, group, sort, width, height, spp,
+              band_rows, max_depth=4):
+    from bench import build_mesh_scene
+    from fspt_tpu.config import RenderConfig
+    from fspt_tpu.ops.pallas_bvh import make_mesh_intersector
+    from fspt_tpu.render import integrator
+
+    builder = build_mesh_scene()
+    scene = builder.compile()
+    camera = builder.cameras[0]
+    cfg = RenderConfig(width=width, height=height, spp=spp, max_depth=max_depth)
+    inter = make_mesh_intersector(scene, block_rays=block_rays,
+                                  sub_bundles=sub_bundles, group=group,
+                                  sort=sort)
+    band_rows = band_rows or height
+    n_bands = height // band_rows
+
+    def band(y0, f0):
+        return integrator.render_wavefront(
+            scene, camera, cfg, 7, f0 * cfg.spp, y0=y0, rows=band_rows,
+            intersector=inter).segments
+
+    fn = jax.jit(band)
+    t0 = time.time()
+    seg0 = int(fn(0, 0))
+    log(f"  compile+first band: {time.time()-t0:.1f}s segs/band={seg0}")
+    best = 0.0
+    for it in range(2):
+        t0 = time.time()
+        total = sum(int(fn(b * band_rows, it + 1)) for b in range(n_bands))
+        dt = time.time() - t0
+        best = max(best, total / dt)
+        log(f"  R={block_rays} S={sub_bundles} G={group} sort={sort} "
+            f"band={band_rows}: {dt*1e3:.0f} ms, {total/dt/1e6:.2f} Mrays/s")
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", nargs="?", default="stages",
+                    choices=["stages", "sweep"])
+    ap.add_argument("dims", nargs="*", type=int,
+                    help="stages: [width height spp]")
+    ap.add_argument("--block-rays", type=int, nargs="+", default=[128])
+    ap.add_argument("--sub-bundles", type=int, default=128)
+    ap.add_argument("--group", type=int, default=8)
+    ap.add_argument("--band-rows", type=int, default=256)
+    ap.add_argument("--no-sort", action="store_true")
+    ap.add_argument("--width", type=int, default=1024)
+    ap.add_argument("--height", type=int, default=1024)
+    ap.add_argument("--spp", type=int, default=4)
+    args = ap.parse_args()
+
+    if args.mode == "stages":
+        stages(*args.dims)
+        return
+    for R in args.block_rays:
+        try:
+            rate = sweep_one(R, args.sub_bundles, args.group, not args.no_sort,
+                             args.width, args.height, args.spp, args.band_rows)
+            log(f"RESULT R={R}: {rate/1e6:.2f} Mrays/s")
+        except Exception as e:
+            log(f"FAILED R={R}: {type(e).__name__}: {e}")
+
+
 if __name__ == "__main__":
-    main(*(int(a) for a in sys.argv[1:]))
+    main()
