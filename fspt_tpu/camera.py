@@ -87,6 +87,22 @@ def generate_rays(camera: Camera, width: int, height: int, spp: int, seed, sampl
     """
     if rows is None:
         rows = height
+    lanes = jnp.arange(rows * width * spp, dtype=jnp.int32)
+    return rays_for_lanes(camera, width, height, spp, seed, sample0, lanes,
+                          y0=y0)
+
+
+def rays_for_lanes(camera: Camera, width: int, height: int, spp: int, seed,
+                   sample0, lanes, y0=0):
+    """Primary rays for arbitrary band-local lane indices.
+
+    ``lanes`` is any int32 vector of indices into the band's
+    ``(rows, width, spp)`` lane space (lane = (row·width + x)·spp + s); the
+    full-band iota reproduces :func:`generate_rays` bit-exactly.  This is the
+    regeneration hook for the queued integrator (render/queue.py): refilled
+    lanes draw the *same* camera-uniform stream as the monolithic wavefront,
+    so the two schedules render identical samples.
+    """
     forward, right, up = camera_basis(camera)
 
     fovy = camera.fov_y * (vm.PI / 180.0)
@@ -96,16 +112,14 @@ def generate_rays(camera: Camera, width: int, height: int, spp: int, seed, sampl
     half_proj_w = jnp.tan(fovx * 0.5) * camera.z_far
     proj_origin = camera.origin + forward * camera.z_far
 
-    ys, xs, ss = jnp.meshgrid(
-        jnp.arange(rows, dtype=jnp.int32) + jnp.asarray(y0, jnp.int32),
-        jnp.arange(width, dtype=jnp.int32),
-        jnp.arange(spp, dtype=jnp.int32),
-        indexing="ij",
-    )
-    pixel_idx = (ys * width + xs).reshape(-1)
-    sample_idx = (ss.reshape(-1) + jnp.asarray(sample0, jnp.int32)).astype(jnp.int32)
-    i = xs.reshape(-1).astype(jnp.float32)
-    j = ys.reshape(-1).astype(jnp.float32)
+    lanes = jnp.asarray(lanes, jnp.int32)
+    ys = lanes // (width * spp) + jnp.asarray(y0, jnp.int32)
+    xs = (lanes // spp) % width
+    ss = lanes % spp
+    pixel_idx = ys * width + xs
+    sample_idx = (ss + jnp.asarray(sample0, jnp.int32)).astype(jnp.int32)
+    i = xs.astype(jnp.float32)
+    j = ys.astype(jnp.float32)
 
     u = rng.camera_uniforms(seed, pixel_idx, sample_idx)  # [N,4]
     aa_x = u[:, 0] - 0.5

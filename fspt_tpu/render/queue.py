@@ -1,0 +1,231 @@
+"""Queued wavefront integrator: ray regeneration for full-occupancy bounces.
+
+The unrolled bounce loop (render/integrator.py) intersects the FULL
+``rows·W·spp`` wavefront at every depth, but after the primary bounce only
+5-20% of lanes are alive (measured on the 100k-triangle bench scene) — the
+sort/cull/sweep/gather stages all pay full-wavefront cost for a sliver of
+live work.  This module re-schedules the same computation as a fixed-size
+ray QUEUE with regeneration (the TPU reshape of persistent-threads wavefront
+path tracing, Laine et al. 2013): each ``lax.while_loop`` iteration refills
+dead queue slots with fresh primary rays, traces ONE segment for every live
+lane, and scatters finished lanes' radiance to their output slot.  Lane
+occupancy stays ~100% until the tail, so total stage work scales with
+*segments actually traced* instead of ``depth × wavefront``.
+
+Equivalence with the unrolled loop is deterministic, not statistical: a
+lane's RNG streams are keyed by (seed, pixel, sample, depth) — none of
+which depend on the schedule — and each output slot is owned by exactly one
+lane lineage whose radiance accumulates in the same per-lane order.  The
+queued render therefore matches ``render_wavefront`` to float-ulp level
+(XLA fuses multiply-adds differently across the two graph shapes, so
+bit-exactness across compilations is not guaranteed; tests/test_queue.py
+pins ~1e-5 tolerances and exact integer outputs).
+
+Reference analog: the recursion TraceStep (engine.cpp:59-159) — this is the
+same traversal re-scheduled; all semantic quirks (deferred fog, depth-0
+AOVs/light-clamp, fast-render white) ride per-lane ``depth`` masks instead
+of loop-iteration specialization.
+
+Not supported here: ``cfg.edge_eps > 0`` (silhouette-gradient edge
+reparameterization) — that path needs differentiable replay anyway
+(ops/diff_intersect.py), so callers keep the unrolled loop for it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fspt_tpu import materials as mat_mod
+from fspt_tpu.camera import Camera, rays_for_lanes
+from fspt_tpu.config import RenderConfig
+from fspt_tpu.ops import rng
+from fspt_tpu.render.integrator import TraceOutput
+from fspt_tpu.scene.builder import ScenePack
+from fspt_tpu.utils import vecmath as vm
+
+DEFAULT_QUEUE = 1 << 18
+
+
+def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
+                  seed, sample0, y0=0, rows=None, *, intersector,
+                  queue: int = DEFAULT_QUEUE) -> TraceOutput:
+    """Render a band through a regenerating ray queue.
+
+    Drop-in for ``render_wavefront`` (bit-identical output) for forward
+    rendering with a liveness-aware ``intersector``.  ``queue`` is the
+    number of in-flight lanes per iteration; the band is streamed through
+    it.
+    """
+    if cfg.edge_eps > 0.0:
+        raise NotImplementedError("render_queued does not support edge_eps")
+    if rows is None:
+        rows = cfg.height
+    n = rows * cfg.width * cfg.spp
+    q = min(queue, n)
+    geom = scene.geometry
+    table = scene.materials
+    tex = scene.textures
+    z_far = camera.z_far
+    eff_depth = cfg.effective_depth
+    f32 = jnp.float32
+
+    use_alive = getattr(intersector, "accepts_alive", False)
+
+    def intersect(o, d, alive):
+        if use_alive:
+            return intersector(o, d, alive)
+        return intersector(o, d)
+
+    def refill(st):
+        """Assign fresh primary rays to dead slots, in lane-id order."""
+        dead = ~st["alive"]
+        rank = jnp.cumsum(dead.astype(jnp.int32))
+        new_id = st["cursor"] + rank - 1
+        has = dead & (new_id < n)
+        lane_id = jnp.where(has, new_id, jnp.where(dead, -1, st["lane_id"]))
+        o_new, d_new, _, _ = rays_for_lanes(
+            camera, cfg.width, cfg.height, cfg.spp, seed, sample0,
+            jnp.maximum(lane_id, 0), y0=y0)
+        h3 = has[:, None]
+        st = dict(st)
+        st["o"] = jnp.where(h3, o_new, st["o"])
+        st["d"] = jnp.where(h3, d_new, st["d"])
+        st["lane_id"] = lane_id
+        st["depth"] = jnp.where(has, 0, st["depth"])
+        st["radiance"] = jnp.where(h3, 0.0, st["radiance"])
+        st["throughput"] = jnp.where(h3, 1.0, st["throughput"])
+        st["alive"] = st["alive"] | has
+        st["plh"] = jnp.where(has, False, st["plh"])
+        st["fog_active"] = jnp.where(has, False, st["fog_active"])
+        st["cursor"] = st["cursor"] + jnp.sum(has.astype(jnp.int32))
+        return st
+
+    def scatter_mask(buf, mask, idx, val):
+        """Predicated scatter-set: rows where ``mask`` write, others drop."""
+        tgt = jnp.where(mask & (idx >= 0), idx, n)  # row n is the pad slot
+        return buf.at[tgt].set(val, mode="drop", unique_indices=False)
+
+    def body(st):
+        st = refill(st)
+        o, d, alive = st["o"], st["d"], st["alive"]
+        depth = st["depth"]
+        radiance, throughput = st["radiance"], st["throughput"]
+        segments = st["segments"] + jnp.sum(alive.astype(jnp.int32))
+
+        hit = intersect(o, d, alive)
+
+        pix = (st["lane_id"] // (cfg.width * cfg.spp) + y0) * cfg.width + (
+            st["lane_id"] // cfg.spp) % cfg.width
+        smp = st["lane_id"] % cfg.spp + jnp.asarray(sample0, jnp.int32)
+
+        side = vm.dot(hit.normal, o - hit.point)
+        internal = side < 0.0
+        normal = jnp.where(internal[:, None], -hit.normal, hit.normal)
+
+        # Deferred depth-0 fog (integrator.py:134-147) — resolves on the
+        # lane's NEXT segment, i.e. whenever fog_active rides in.
+        light_pos = jnp.where(hit.hit[:, None], hit.point, o + d)
+        dist = vm.length(light_pos - st["fog_from"])
+        thresh = jnp.clip(dist * dist * st["fog_density"] * 0.00005, 0.0, 1.0)
+        absorbed = st["fog_active"] & (st["fog_u"] < thresh) & (depth >= 1)
+        radiance = radiance + jnp.where(
+            (absorbed & alive)[:, None], throughput * st["fog_diffuse"], 0.0)
+        alive = alive & ~absorbed
+        fog_active = st["fog_active"] & (depth < 1)
+
+        miss = alive & ~hit.hit
+        view_dir = vm.normalize(d)
+        sky_rgb = mat_mod.sample_sky(table, tex, scene.sky_mat, view_dir)
+        radiance = radiance + jnp.where(miss[:, None],
+                                        throughput * sky_rgb, 0.0)
+
+        active = alive & hit.hit
+        view = vm.normalize(hit.point - o)
+        uniforms = rng.bounce_uniforms(seed, pix, smp, depth,
+                                       cfg.bounce_slots)
+        sh = mat_mod.shade(table, tex, hit.mat, view, normal, hit.texcoords,
+                           uniforms)
+
+        at0 = depth == 0
+        aovn = scatter_mask(st["aov_normal"], at0, st["lane_id"],
+                            jnp.where(hit.hit[:, None], normal, view_dir))
+        aovd = scatter_mask(
+            st["aov_depth"], at0, st["lane_id"],
+            jnp.where(hit.hit, vm.length(hit.point - o), z_far))
+        aovm = scatter_mask(st["aov_mat"], at0, st["lane_id"],
+                            jnp.where(hit.hit, hit.mat, scene.sky_mat))
+        plh = jnp.where(at0, hit.hit & sh.is_light, st["plh"])
+        mark = active & sh.is_fog & at0
+        fog_active = fog_active | mark
+        fog_from = jnp.where(mark[:, None], hit.point, st["fog_from"])
+        fog_diffuse = jnp.where(mark[:, None], sh.fog_diffuse,
+                                st["fog_diffuse"])
+        fog_density = jnp.where(mark, sh.fog_density, st["fog_density"])
+        fog_u = jnp.where(mark, uniforms[:, 3], st["fog_u"])
+
+        radiance = radiance + jnp.where(active[:, None],
+                                        throughput * sh.bias, 0.0)
+        throughput = jnp.where(active[:, None], throughput * sh.coef,
+                               throughput)
+
+        new_o = hit.point + sh.direction * cfg.ray_offset
+        new_d = sh.direction * (z_far - cfg.ray_offset)
+        o = jnp.where(active[:, None], new_o, o)
+        d = jnp.where(active[:, None], new_d, d)
+
+        was_live = st["alive"]
+        alive = active & sh.will_indirect
+        depth = jnp.where(was_live, depth + 1, depth)
+
+        capped = alive & (depth >= eff_depth)
+        if cfg.fast_render:
+            radiance = radiance + jnp.where(capped[:, None], throughput, 0.0)
+        alive = alive & ~capped
+
+        died = was_live & ~alive
+        # Depth-0 light tone clamp at lane death (integrator.py:222-228).
+        norm2 = jnp.sqrt(jnp.maximum(vm.dot(radiance, radiance), 1e-20))
+        clamp = plh & (norm2 > cfg.light_clamp)
+        scale = jnp.where(clamp, cfg.light_clamp / norm2, 1.0)
+        rad_buf = scatter_mask(st["radiance_buf"], died, st["lane_id"],
+                               radiance * scale[:, None])
+
+        return {
+            "o": o, "d": d, "radiance": radiance, "throughput": throughput,
+            "lane_id": st["lane_id"], "depth": depth, "alive": alive,
+            "plh": plh, "fog_active": fog_active, "fog_from": fog_from,
+            "fog_diffuse": fog_diffuse, "fog_density": fog_density,
+            "fog_u": fog_u, "cursor": st["cursor"], "segments": segments,
+            "radiance_buf": rad_buf, "aov_normal": aovn, "aov_depth": aovd,
+            "aov_mat": aovm,
+        }
+
+    def cond(st):
+        return (st["cursor"] < n) | jnp.any(st["alive"])
+
+    z3 = jnp.zeros((q, 3), f32)
+    z1 = jnp.zeros((q,), f32)
+    state = {
+        "o": z3, "d": z3, "radiance": z3, "throughput": z3,
+        "lane_id": jnp.full((q,), -1, jnp.int32),
+        "depth": jnp.zeros((q,), jnp.int32),
+        "alive": jnp.zeros((q,), bool),
+        "plh": jnp.zeros((q,), bool),
+        "fog_active": jnp.zeros((q,), bool),
+        "fog_from": z3, "fog_diffuse": z3, "fog_density": z1, "fog_u": z1,
+        "cursor": jnp.zeros((), jnp.int32),
+        "segments": jnp.zeros((), jnp.int32),
+        "radiance_buf": jnp.zeros((n + 1, 3), f32),
+        "aov_normal": jnp.zeros((n + 1, 3), f32),
+        "aov_depth": jnp.zeros((n + 1,), f32),
+        "aov_mat": jnp.zeros((n + 1,), jnp.int32),
+    }
+    st = jax.lax.while_loop(cond, body, state)
+    return TraceOutput(
+        radiance=st["radiance_buf"][:n],
+        aov_normal=st["aov_normal"][:n],
+        aov_depth=st["aov_depth"][:n],
+        aov_mat=st["aov_mat"][:n],
+        segments=st["segments"],
+    )

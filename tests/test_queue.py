@@ -1,0 +1,117 @@
+"""Queued (ray-regeneration) integrator ≡ the unrolled wavefront loop.
+
+The queue reschedules the exact same per-lane computation (render/queue.py
+docstring): identical RNG streams, identical paths, identical accumulation
+order per lane.  Radiance/AOVs agree to float-ulp level (XLA fuses
+multiply-adds differently across the two graph shapes, so bit-exactness
+across compilations is not guaranteed — tolerances are ~1e-5); integer
+outputs (aov_mat, segments) match exactly.  Scenes exercise fog deferral,
+light clamp, specular chains, banding, fast-render, and the BVH mesh
+path; small queues force many refill iterations."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import build_cornell_box
+from test_diff_intersect import build_bvh_scene
+
+from fspt_tpu.config import RenderConfig
+from fspt_tpu.render import integrator
+from fspt_tpu.render.queue import render_queued
+
+
+def _compare(scene, camera, cfg, intersector, queue, seed=11, sample0=3):
+    ref = integrator.render_wavefront(scene, camera, cfg, seed, sample0,
+                                      intersector=intersector)
+    out = render_queued(scene, camera, cfg, seed, sample0,
+                        intersector=intersector, queue=queue)
+    np.testing.assert_allclose(np.asarray(ref.radiance),
+                               np.asarray(out.radiance),
+                               rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref.aov_normal),
+                               np.asarray(out.aov_normal),
+                               rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref.aov_depth),
+                               np.asarray(out.aov_depth), rtol=2e-3)
+    np.testing.assert_array_equal(np.asarray(ref.aov_mat),
+                                  np.asarray(out.aov_mat))
+    assert int(ref.segments) == int(out.segments)
+
+
+@pytest.mark.parametrize("queue", [256, 1024])
+def test_queue_matches_wavefront_cornell(queue):
+    """Diffuse+specular Cornell box, small queue → many refill rounds."""
+    builder = build_cornell_box(with_specular=True)
+    scene = builder.compile()
+    cfg = RenderConfig(width=24, height=16, spp=2, max_depth=5)
+
+    def intersector(o, d, alive=None):
+        from fspt_tpu.ops.intersect import intersect_scene
+        return intersect_scene(scene.geometry, o, d)
+
+    intersector.accepts_alive = True
+    _compare(scene, builder.cameras[0], cfg, intersector, queue)
+
+
+def test_queue_matches_wavefront_fog():
+    """Fog absorption is deferred one segment — per-lane depth masks must
+    reproduce the unrolled loop's iteration-special-cased logic."""
+    builder = build_cornell_box(with_fog=True)
+    scene = builder.compile()
+    cfg = RenderConfig(width=16, height=12, spp=2, max_depth=4)
+
+    def intersector(o, d, alive=None):
+        from fspt_tpu.ops.intersect import intersect_scene
+        return intersect_scene(scene.geometry, o, d)
+
+    intersector.accepts_alive = True
+    _compare(scene, builder.cameras[0], cfg, intersector, queue=512)
+
+
+def test_queue_matches_wavefront_bvh():
+    """Mesh scene through the XLA two-level BVH intersector."""
+    builder = build_bvh_scene(grid=10)
+    scene = builder.compile()
+    cfg = RenderConfig(width=16, height=12, spp=2, max_depth=3)
+
+    def intersector(o, d, alive=None):
+        return integrator._intersect_with_bvh(scene, o, d)
+
+    intersector.accepts_alive = True
+    _compare(scene, builder.cameras[0], cfg, intersector, queue=384)
+
+
+def test_queue_fast_render_and_banding():
+    """fast_render's depth-2 white cap + y0/rows banding."""
+    builder = build_cornell_box()
+    scene = builder.compile()
+    cfg = RenderConfig(width=16, height=16, spp=1, max_depth=6,
+                       fast_render=True)
+
+    def intersector(o, d, alive=None):
+        from fspt_tpu.ops.intersect import intersect_scene
+        return intersect_scene(scene.geometry, o, d)
+
+    intersector.accepts_alive = True
+    cam = builder.cameras[0]
+    ref = integrator.render_wavefront(scene, cam, cfg, 5, 0, y0=4, rows=8,
+                                      intersector=intersector)
+    out = render_queued(scene, cam, cfg, 5, 0, y0=4, rows=8,
+                        intersector=intersector, queue=128)
+    np.testing.assert_allclose(np.asarray(ref.radiance),
+                               np.asarray(out.radiance),
+                               rtol=2e-3, atol=2e-5)
+    assert int(ref.segments) == int(out.segments)
+
+
+def test_rays_for_lanes_matches_generate_rays():
+    from fspt_tpu.camera import generate_rays, rays_for_lanes
+
+    builder = build_cornell_box()
+    cam = builder.cameras[0]
+    ref = generate_rays(cam, 8, 6, 2, 9, 4, y0=2, rows=3)
+    lanes = jnp.arange(3 * 8 * 2, dtype=jnp.int32)
+    out = rays_for_lanes(cam, 8, 6, 2, 9, 4, lanes, y0=2)
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
