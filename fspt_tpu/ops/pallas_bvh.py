@@ -745,6 +745,7 @@ def make_sorted_intersector(inner, scene_lo, scene_hi):
 
 
 GROUP = 4  # treelets swept per kernel iteration (amortizes fixed costs)
+CULL_BATCH = 8  # ray blocks per cull-kernel grid step (sublane-tiling min)
 
 
 def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
@@ -778,6 +779,24 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
     leaf_nodes = np.nonzero(count_np > 0)[0]
     lbmin = jnp.asarray(f(bvh.bmin)[leaf_nodes], jnp.float32)  # [L,3]
     lbmax = jnp.asarray(f(bvh.bmax)[leaf_nodes], jnp.float32)
+
+    # Lane-packed leaf bounds for the Pallas cull kernel.  Pad leaves get
+    # inverted boxes (lo=+big, hi=-big): t_lo > t_hi for every ray, so they
+    # can never survive the cull.
+    def _lane_pack_bounds(arr, fill):
+        out = np.full((l_pad,), fill, np.float32)
+        out[:n_leaves] = arr
+        return out.reshape(l_rows, LANE)
+
+    lbmin_np = f(bvh.bmin)[leaf_nodes].astype(np.float32)
+    lbmax_np = f(bvh.bmax)[leaf_nodes].astype(np.float32)
+    cull_bounds = [
+        jnp.asarray(_lane_pack_bounds(lbmin_np[:, a], 3.0e38))
+        for a in range(3)
+    ] + [
+        jnp.asarray(_lane_pack_bounds(lbmax_np[:, a], -3.0e38))
+        for a in range(3)
+    ]
 
     def cull(start_b, seg_b, t0_b):
         """[B,R,3]×2, [B,R] → sorted leaf ids [B,Lp], entry t [B,Lp], counts [B,1]."""
@@ -837,6 +856,11 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
             key_s = jnp.where(overlap, jnp.maximum(t_lo, 0.0), big)
             # Block list = union over sub-bundles; entry t = best per bundle.
             key = jnp.min(key_s.reshape(bb, S, n_leaves), axis=1)  # [B,L]
+        return _order_from_key(key)
+
+    def _order_from_key(key):
+        """[B, L] conservative entry-t keys (big = culled) → sorted leaf
+        lists, entry ts, survivor counts."""
         counts = jnp.sum(key < big, axis=1, dtype=jnp.int32)[:, None]  # [B,1]
         # Front-to-back ordering via ONE int32 value sort: entry t (∈[0,1],
         # t_blk is clipped to 1) floor-quantized into the high bits, leaf id
@@ -1009,10 +1033,85 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
     first_np = f(bvh.first)
     leaf_first = jnp.asarray(first_np[leaf_nodes], jnp.int32)
 
+    def cull_kernel(rays_ref, bmnx_ref, bmny_ref, bmnz_ref,
+                    bmxx_ref, bmxy_ref, bmxz_ref, key_ref):
+        """Per-block per-ray exact slab lattice, entirely in VMEM.
+
+        The XLA formulation of the S == R cull materializes [N, L, 3]
+        intermediates through HBM; here each block's (R, 128-leaf-chunk)
+        lattice lives in registers/VMEM and only the [1, L] min-reduced
+        entry-t key row is written out (~5.2 → ~1.1 ms per 131k-lane
+        wavefront, measured with the fori harness).  The kernel reads the
+        sweep's F feature matrix — introducing a separate ray input would
+        force XLA to materialize the sorted-ray gathers it otherwise
+        re-fuses into every consumer (+2 ms/gather at this size)."""
+        for b in range(CULL_BATCH):  # Mosaic wants ≥8 sublanes per out block
+            rays = rays_ref[b * R:(b + 1) * R, :]  # (R,16) F rows
+            ox, oy, oz = rays[:, 6:7], rays[:, 7:8], rays[:, 8:9]
+            dx, dy, dz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+            t0 = rays[:, 10:11]
+
+            def rcp(d):
+                return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                                       jnp.where(d >= 0, 1e-30, -1e-30), d)
+
+            rx, ry, rz = rcp(dx), rcp(dy), rcp(dz)
+            tb1 = jnp.minimum(t0, 1.0)
+            valid = t0 > 0.0
+            for c in range(l_rows):
+                bmnx = bmnx_ref[c:c + 1, :]  # (1, 128)
+                bmxx = bmxx_ref[c:c + 1, :]
+                tax = (bmnx - ox) * rx  # (R, 128)
+                tbx = (bmxx - ox) * rx
+                lox = jnp.minimum(tax, tbx)
+                hix = jnp.maximum(tax, tbx)
+                bmny = bmny_ref[c:c + 1, :]
+                bmxy = bmxy_ref[c:c + 1, :]
+                tay = (bmny - oy) * ry
+                tby = (bmxy - oy) * ry
+                loy = jnp.minimum(tay, tby)
+                hiy = jnp.maximum(tay, tby)
+                bmnz = bmnz_ref[c:c + 1, :]
+                bmxz = bmxz_ref[c:c + 1, :]
+                taz = (bmnz - oz) * rz
+                tbz = (bmxz - oz) * rz
+                loz = jnp.minimum(taz, tbz)
+                hiz = jnp.maximum(taz, tbz)
+                t_lo = jnp.maximum(jnp.maximum(lox, loy), loz)
+                t_hi = jnp.minimum(jnp.minimum(hix, hiy), hiz)
+                ov = ((t_lo <= t_hi) & (t_hi >= 0.0) & (t_lo <= tb1) & valid)
+                keyc = jnp.min(
+                    jnp.where(ov, jnp.maximum(t_lo, 0.0),
+                              jnp.float32(3.0e38)),
+                    axis=0, keepdims=True)  # (1, 128)
+                key_ref[b, c * LANE:(c + 1) * LANE] = keyc[0]
+
+    def pallas_cull(F):
+        """F [n_pad,16] sweep features → per-block entry-t keys
+        [B, n_leaves].  ``n_pad`` must be a multiple of CULL_BATCH·R
+        (prepare pads so)."""
+        n_pad = F.shape[0]
+        n_blocks = n_pad // R
+        key = pl.pallas_call(
+            cull_kernel,
+            grid=(n_blocks // CULL_BATCH,),
+            in_specs=[pl.BlockSpec((CULL_BATCH * R, _NF), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=pl.BlockSpec((CULL_BATCH, l_pad), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, l_pad), jnp.float32),
+            interpret=interpret,
+        )(F, *cull_bounds)
+        return key[:, :n_leaves]
+
     def prepare(start, seg, t_init=None):
-        """Pad to block granularity, run the XLA cull, build ray features."""
+        """Pad to block granularity, run the cull, build ray features."""
         n = start.shape[0]
-        n_pad = pl.cdiv(n, R) * R
+        # The Pallas cull processes CULL_BATCH blocks per grid step; extra
+        # padding blocks are all-dead (t0=0) and sweep in ~0.6 µs each.
+        gran = CULL_BATCH * R if S == R else R
+        n_pad = pl.cdiv(n, gran) * gran
         n_blocks = n_pad // R
 
         t0 = (jnp.full((n,), INVALID_PARAM, jnp.float32)
@@ -1024,15 +1123,19 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
         seg_p = jnp.pad(seg, ((0, n_pad - n), (0, 0)))
         t0_p = jnp.pad(t0, (0, n_pad - n))  # padding: t0=0 → dead
 
-        order, tlo_sorted, counts = cull(
-            start_p.reshape(n_blocks, R, 3), seg_p.reshape(n_blocks, R, 3),
-            t0_p.reshape(n_blocks, R))
-
         c = jnp.cross(start_p, seg_p)
         ones = jnp.ones((n_pad, 1), jnp.float32)
         zeros = jnp.zeros((n_pad, _NF - 11), jnp.float32)
         F = jnp.concatenate([seg_p, c, start_p, ones, t0_p[:, None], zeros],
                             axis=1)
+
+        if S == R:
+            order, tlo_sorted, counts = _order_from_key(pallas_cull(F))
+        else:
+            order, tlo_sorted, counts = cull(
+                start_p.reshape(n_blocks, R, 3),
+                seg_p.reshape(n_blocks, R, 3),
+                t0_p.reshape(n_blocks, R))
         return counts, order, tlo_sorted, F
 
     def sweep(counts, order, tlo_sorted, F):

@@ -155,3 +155,47 @@ def test_mesh_intersector_full_render():
     assert_images_close(out_ref.radiance, out_pal.radiance, rtol=1e-4,
                         atol=1e-6, frac=0.999)
     assert int(out_ref.segments) == int(out_pal.segments)
+
+
+def test_pallas_cull_matches_xla_formula():
+    """The in-VMEM cull kernel reproduces the XLA per-ray exact cull:
+    same survivor sets, same front-to-back order, same quantized entry t."""
+    import jax
+
+    v0, v1, v2 = _tris(3000, seed=11)
+    coarse = build_bvh(v0, v1, v2, max_leaf=TREELET)
+    trav = make_culled_traverser(coarse, block_rays=128, sub_bundles=128)
+    start, seg = _rays(512, seed=12)
+    t_init = jnp.full((512,), 1.0, jnp.float32)
+    t_init = t_init.at[::7].set(0.0)  # dead lanes mixed in
+    counts, order, tlo, F = jax.jit(trav.prepare)(start, seg, t_init)
+
+    # reference: the XLA formulation (pallas_bvh.cull S==R branch), inline
+    f = np.asarray
+    leaf_nodes = np.nonzero(f(coarse.count) > 0)[0]
+    lbmin = f(coarse.bmin)[leaf_nodes]
+    lbmax = f(coarse.bmax)[leaf_nodes]
+    sb, gb = f(start), f(seg)
+    tb = f(t_init)
+    r = 1.0 / np.where(np.abs(gb) < 1e-30,
+                       np.where(gb >= 0, 1e-30, -1e-30), gb)
+    ta = (lbmin[None] - sb[:, None]) * r[:, None]
+    tbx = (lbmax[None] - sb[:, None]) * r[:, None]
+    t_lo = np.minimum(ta, tbx).max(axis=-1)
+    t_hi = np.maximum(ta, tbx).min(axis=-1)
+    ov = ((t_lo <= t_hi) & (t_hi >= 0.0)
+          & (t_lo <= np.minimum(tb, 1.0)[:, None]) & (tb > 0.0)[:, None])
+    key = np.where(ov, np.maximum(t_lo, 0.0), 3.0e38)
+    key = key.reshape(4, 128, -1).min(axis=1)  # [blocks, leaves]
+    counts_ref = (key < 3.0e38).sum(axis=1)
+    # prepare may pad to CULL_BATCH·R granularity: extra blocks are dead.
+    got = np.asarray(counts)[:, 0]
+    np.testing.assert_array_equal(got[:4], counts_ref)
+    assert (got[4:] == 0).all()
+    for b in range(4):
+        k = int(counts_ref[b])
+        surv = set(np.nonzero(key[b] < 3.0e38)[0].tolist())
+        assert set(np.asarray(order)[b, :k].tolist()) == surv
+        # entry ts sorted ascending
+        tl = np.asarray(tlo)[b, :k]
+        assert (np.diff(tl) >= 0).all()
