@@ -141,51 +141,47 @@ def build_mesh_scene(grid=224):
     return b
 
 
-def bench_mesh(width=1024, height=1024, spp=4, max_depth=4, band_rows=256,
-               outer_iters=2):
+def bench_mesh(width=1024, height=1024, spp=4, max_depth=4, queue=1 << 17,
+               outer_iters=3):
     """100k-tri BVH-path benchmark (BASELINE config 3: 4 bounces, DoF).
 
-    The frame renders in horizontal bands (render_wavefront y0/rows): ray
-    density per treelet-cull block grows with image resolution — the cull
-    feeds on angular coherence — while the wavefront stays ≤~1M lanes,
-    below the [N,k]-tile-padding HBM ceiling (PERF_NOTES.md)."""
+    The frame streams through the regenerating ray queue (render/queue.py):
+    every iteration intersects a full-occupancy wavefront — dead lanes are
+    replaced by fresh primaries — so stage work scales with segments traced
+    instead of depth × wavefront (the r2 banded design paid 4 full-size
+    sort/cull/sweep passes for bounces that were 5-20% live)."""
     from fspt_tpu.config import RenderConfig
     from fspt_tpu.ops.pallas_bvh import make_mesh_intersector
-    from fspt_tpu.render import integrator
+    from fspt_tpu.render.queue import render_queued
 
     builder = build_mesh_scene()
     scene = builder.compile()
     camera = builder.cameras[0]
     cfg = RenderConfig(width=width, height=height, spp=spp, max_depth=max_depth)
     inter = make_mesh_intersector(scene)
-    assert height % band_rows == 0, (
-        f"height={height} must be a multiple of band_rows={band_rows} "
-        "(a truncated final band would silently skip rows)")
-    n_bands = height // band_rows
-    log(f"mesh path: pallas MXU-treelet BVH ({scene.bvh.n_nodes} fine nodes), "
-        f"{n_bands} bands of {band_rows} rows")
+    log(f"mesh path: queued wavefront + pallas MXU-treelet BVH "
+        f"({scene.bvh.n_nodes} fine nodes), queue={queue}")
 
     # Return (segments, radiance sum) so the full image computation stays
     # live under jit — timing methodology matches a real render, not just
     # the segment counter (ADVICE r1).
-    def band(y0, f0):
-        out = integrator.render_wavefront(
-            scene, camera, cfg, 7, f0 * cfg.spp, y0=y0, rows=band_rows,
-            intersector=inter)
+    def frame(f0):
+        out = render_queued(scene, camera, cfg, 7, f0 * cfg.spp,
+                            intersector=inter, queue=queue)
         return out.segments, out.radiance.sum()
 
-    fn = jax.jit(band)
+    fn = jax.jit(frame)
     t0 = time.time()
-    seg0 = int(fn(0, 0)[0])
-    log(f"mesh compile+first band: {time.time()-t0:.1f}s; segs/band={seg0}")
+    seg0 = int(fn(0)[0])
+    log(f"mesh compile+first frame: {time.time()-t0:.1f}s; segs={seg0}")
     rates = []
     for it in range(outer_iters):
         t0 = time.time()
-        outs = [fn(b * band_rows, it + 1) for b in range(n_bands)]
-        total = sum(int(o[0]) for o in outs)
+        segs, _ = fn(it + 1)
+        segs = int(segs)
         dt = time.time() - t0
-        rates.append(total / dt)
-        log(f"mesh iter {it}: {dt*1000:.0f} ms, {total/dt/1e6:.2f} Mrays/s")
+        rates.append(segs / dt)
+        log(f"mesh iter {it}: {dt*1000:.0f} ms, {segs/dt/1e6:.2f} Mrays/s")
     return summarize(rates)
 
 

@@ -262,8 +262,8 @@ def make_bvh_traverser(bvh: FlatBVH, max_leaf: int,
     return traverse
 
 
-def make_mesh_intersector(scene_pack, block_rays: int = 128,
-                          sub_bundles: int = 128, group: int = 8,
+def make_mesh_intersector(scene_pack, block_rays: int = 64,
+                          sub_bundles: int = 64, group: int = 8,
                           interpret: bool | None = None, sort: bool = True):
     """Full-scene intersector for BVH scenes: Pallas analytic kernel seeds
     ``t``, the culled MXU treelet kernel refines, triangle shading attributes
@@ -287,7 +287,7 @@ def make_mesh_intersector(scene_pack, block_rays: int = 128,
     v0 = np.asarray(fine.tri_v0)[order]
     v1 = v0 + np.asarray(fine.tri_e1)[order]
     v2 = v0 + np.asarray(fine.tri_e2)[order]
-    coarse = build_bvh(v0, v1, v2, max_leaf=TREELET)
+    coarse = build_treelet_chunks(v0, v1, v2)
     trav = make_culled_traverser(coarse, block_rays=block_rays,
                                  sub_bundles=sub_bundles, group=group,
                                  interpret=interpret)
@@ -381,6 +381,65 @@ def make_mesh_intersector(scene_pack, block_rays: int = 128,
 TREELET = 128
 _NF = 16  # ray feature padding (10 used)
 _NQ = 4  # det, u_num, v_num, t_num
+
+
+def build_treelet_chunks(v0, v1, v2, leaf: int = TREELET) -> FlatBVH:
+    """Balanced k-d chunking into FULL treelets (leaf-only FlatBVH).
+
+    The median-split builder leaves treelets ~76% full (97/128 tris on the
+    bench scene), so the MXU sweep pays for 1024 leaves where 778 suffice.
+    This builder recursively splits the widest centroid axis at a
+    multiple-of-``leaf`` boundary nearest the median: every treelet is
+    exactly full except one, cutting leaf count — and with it cull lattice
+    width, sort width, and sweep visits — by ~24% at equal spatial quality.
+
+    The result has no internal nodes (count>0 everywhere, miss=i+1): the
+    culled traverser never walks the tree — it culls every leaf directly —
+    so only leaf bounds/ranges are meaningful.  Not usable with
+    make_treelet_traverser (which needs a walkable hierarchy).
+    """
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    n = v0.shape[0]
+    cent = (v0 + v1 + v2) / 3.0
+    chunks = []
+
+    def split(idx):
+        m = len(idx)
+        if m <= leaf:
+            chunks.append(idx)
+            return
+        c = cent[idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        k = int(round((m / 2) / leaf)) * leaf
+        k = min(max(k, leaf), ((m - 1) // leaf) * leaf)
+        split(idx[order[:k]])
+        split(idx[order[k:]])
+
+    split(np.arange(n, dtype=np.int64))
+    order = np.concatenate(chunks)
+    tv0, tv1, tv2 = v0[order], v1[order], v2[order]
+    e1, e2 = tv1 - tv0, tv2 - tv0
+    lo = np.minimum(tv0, np.minimum(tv1, tv2))
+    hi = np.maximum(tv0, np.maximum(tv1, tv2))
+    sizes = np.array([len(c) for c in chunks], np.int32)
+    first = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+    bmin = np.stack([
+        np.minimum.reduceat(lo[:, a], first) for a in range(3)], axis=1)
+    bmax = np.stack([
+        np.maximum.reduceat(hi[:, a], first) for a in range(3)], axis=1)
+    m_nodes = len(chunks)
+    return FlatBVH(
+        bmin=jnp.asarray(bmin), bmax=jnp.asarray(bmax),
+        first=jnp.asarray(first), count=jnp.asarray(sizes),
+        miss=jnp.asarray(np.arange(1, m_nodes + 1, dtype=np.int32)),
+        tri_v0=jnp.asarray(tv0), tri_e1=jnp.asarray(e1),
+        tri_e2=jnp.asarray(e2),
+        tri_area2=jnp.asarray(np.linalg.norm(np.cross(e1, e2), axis=-1)),
+        tri_id=jnp.asarray(order.astype(np.int32)),
+    )
 
 
 class PackedTreelets:
@@ -904,10 +963,14 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
                     for j in range(G)]
 
         def fetch(leaves, buf, sem):
+            # Each leaf's (16, NQ·128) weight block lands in its own column
+            # slice, so the whole group is ONE (16, G·NQ·128) matrix and the
+            # group's Möller–Trumbore runs as a single MXU dot (8 K=16 dots
+            # pay the systolic fill 8 times; one wide dot pays it once).
             for j in range(G):
                 pltpu.make_async_copy(
                     w_ref.at[pl.ds(leaves[j] * nrw, nrw), :],
-                    buf.at[pl.ds(j * nrw, nrw), :],
+                    buf.at[:, pl.ds(j * _NQ * TREELET, _NQ * TREELET)],
                     sem.at[j]).start()
 
         def fetch_par(leaves, parity):
@@ -919,7 +982,7 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
             for j in range(G):
                 pltpu.make_async_copy(
                     w_ref.at[pl.ds(0, nrw), :],
-                    buf.at[pl.ds(j * nrw, nrw), :],
+                    buf.at[:, pl.ds(j * _NQ * TREELET, _NQ * TREELET)],
                     sem.at[j]).wait()
 
         def wait_par(parity):
@@ -961,18 +1024,17 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
                          lambda: None)
 
             wait_par(parity)
+            # Both parity buffers are read and lane-selected once per
+            # group — two VMEM reads + a select beat a vector-valued cond.
+            W = jnp.where(parity == 0, w_scratch0[:], w_scratch1[:])
+            out_all = jnp.dot(F, W, preferred_element_type=jnp.float32,
+                              precision=precision)  # (R, G·NQ·128)
             for j in range(G):
-                # Both parity buffers are read and lane-selected — two VMEM
-                # reads + a select beat a vector-valued cond per leaf.
-                W0 = w_scratch0[pl.ds(j * nrw, nrw), :]
-                W1 = w_scratch1[pl.ds(j * nrw, nrw), :]
-                W = jnp.where(parity == 0, W0, W1)  # (16, NQ·128)
-                out = jnp.dot(F, W, preferred_element_type=jnp.float32,
-                              precision=precision)  # (R, NQ·128)
-                det = out[:, 0 * TREELET:1 * TREELET]
-                u_num = out[:, 1 * TREELET:2 * TREELET]
-                v_num = out[:, 2 * TREELET:3 * TREELET]
-                t_num = out[:, 3 * TREELET:4 * TREELET]
+                base_c = j * _NQ * TREELET
+                det = out_all[:, base_c + 0 * TREELET:base_c + 1 * TREELET]
+                u_num = out_all[:, base_c + 1 * TREELET:base_c + 2 * TREELET]
+                v_num = out_all[:, base_c + 2 * TREELET:base_c + 3 * TREELET]
+                t_num = out_all[:, base_c + 3 * TREELET:base_c + 4 * TREELET]
                 area = area_ref[pl.ds(leaves[j], 1), :]  # (1,128)
                 # Sign-folded MT: multiply the numerators by sign(det) so
                 # every barycentric/depth test compares against |det| with
@@ -1150,8 +1212,8 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
             out_specs=ospec,
             out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((G * _NF, _NQ * TREELET), jnp.float32),
-                pltpu.VMEM((G * _NF, _NQ * TREELET), jnp.float32),
+                pltpu.VMEM((_NF, G * _NQ * TREELET), jnp.float32),
+                pltpu.VMEM((_NF, G * _NQ * TREELET), jnp.float32),
                 pltpu.SemaphoreType.DMA((G,)),
                 pltpu.SemaphoreType.DMA((G,)),
             ],
