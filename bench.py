@@ -185,6 +185,63 @@ def bench_mesh(width=1024, height=1024, spp=4, max_depth=4, queue=1 << 17,
     return summarize(rates)
 
 
+def bench_mesh_grad(width=512, height=512, spp=2, max_depth=2, iters=3):
+    """BVH-scene fwd+bwd: vertex-recovery throughput at 100k-tri scale
+    (BASELINE configs 3+5 intersected — VERDICT r2 #8).
+
+    One optimizer step = render the 100k-triangle scene through the hit-id
+    replay intersector (culled-treelet Pallas sweep under stop_gradient,
+    exact XLA Möller–Trumbore replay for gradients) + backward pass over
+    ~300k vertex parameters + adam update.  Rate counts the forward
+    render's traced segments per wall second of the full fwd+bwd step."""
+    import optax
+
+    from fspt_tpu.config import RenderConfig
+    from fspt_tpu.ops.diff_intersect import (make_diff_mesh_intersector,
+                                             tris_from_scene)
+    from fspt_tpu.parallel import make_bvh_vertex_recovery_step, make_mesh
+    from fspt_tpu.render import integrator
+
+    builder = build_mesh_scene()
+    scene = builder.compile()
+    camera = builder.cameras[0]
+    cfg = RenderConfig(width=width, height=height, spp=spp,
+                       max_depth=max_depth, edge_eps=0.05)
+    mesh = make_mesh(1)
+    diff = make_diff_mesh_intersector(scene)
+    segs = int(jax.jit(lambda: integrator.render_wavefront(
+        scene, camera, cfg, 11, 0, intersector=diff).segments)())
+    log(f"mesh-grad: {segs} segments/frame, "
+        f"{int(scene.bvh.tri_v0.shape[0])} triangles")
+
+    baked = tris_from_scene(scene)
+    params = {k: baked[k] for k in ("v0", "v1", "v2")}
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    step = make_bvh_vertex_recovery_step(mesh, cfg, scene,
+                                         optimizer=optax.adam(0.05), pool=1)
+    opt_state = step.init(params)
+    t0 = time.time()
+    # Two warmups: the first step compiles; the second recompiles with the
+    # post-step optimizer-state dtypes.
+    for w in range(2):
+        params, opt_state, loss = step(params, opt_state, scene, camera,
+                                       target, 11, w)
+        jax.block_until_ready(params)
+    log(f"mesh-grad compile+warmup: {time.time()-t0:.1f}s "
+        f"loss={float(loss):.4f}")
+    rates = []
+    for it in range(iters):
+        t0 = time.time()
+        params, opt_state, loss = step(params, opt_state, scene, camera,
+                                       target, 11, it + 2)
+        jax.block_until_ready(params)
+        dt = time.time() - t0
+        rates.append(segs / dt)
+        log(f"mesh-grad iter {it}: {dt*1e3:.0f} ms/step, "
+            f"{segs/dt/1e6:.2f} Mrays/s fwd+bwd")
+    return summarize(rates)
+
+
 def bench_fwdbwd(width=1920, height=1080, spp=4, max_depth=8, band_rows=270,
                  iters=2):
     """BASELINE "report" row: fwd+bwd rays/s/chip at 4spp 1080p.
@@ -265,6 +322,11 @@ def main():
         log(f"fwdbwd_1080p_4spp_rays_per_sec: {fb_rate:.3e}")
     except Exception as e:
         log(f"fwd+bwd bench failed: {type(e).__name__}: {e}")
+    try:
+        mg_rate = bench_mesh_grad()
+        log(f"mesh_grad_100k_rays_per_sec: {mg_rate:.3e}")
+    except Exception as e:
+        log(f"mesh-grad bench failed: {type(e).__name__}: {e}")
     try:
         # BASELINE config 2: specular/glossy mix, 4 bounces, 16spp at 512².
         spec_rate = bench_forward(width=512, height=512, spp=16, max_depth=4,

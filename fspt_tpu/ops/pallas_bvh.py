@@ -1047,9 +1047,14 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
                 vn = v_num * sm
                 tn = t_num * sm
                 # prepare() clamps t seeds to <=1, so tn < t_best·ad already
-                # implies t <= 1 — no separate tc<=1 test.
-                ok = ((ad >= vm.EPSILON * area) & (un >= 0) & (vn >= 0)
-                      & (un + vn <= ad) & (tn >= 0) & (tn < t_best * ad))
+                # implies t <= 1 — no separate tc<=1 test.  The four >=0
+                # barycentric/depth tests fold into one min4 >= 0 (exact:
+                # same-precision subs, min distributes over >=0) — 3 fewer
+                # VPU ops per visit than six compares + five ands.
+                min4 = jnp.minimum(jnp.minimum(un, vn),
+                                   jnp.minimum(ad - (un + vn), tn))
+                ok = ((min4 >= 0) & (tn < t_best * ad)
+                      & (ad >= vm.EPSILON * area))
                 tc = tn / jnp.where(ok, ad, 1.0)
                 # One fused reduction: non-negative f32 bits are order-
                 # preserving as int32, so pack (t bits, column) into one key

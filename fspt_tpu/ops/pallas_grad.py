@@ -50,7 +50,7 @@ from fspt_tpu.ops.pallas_path import (
     build_path_core,
 )
 
-DEFAULT_BLOCK_ROWS = 8  # adjoint live ranges ~2× the forward kernel's
+DEFAULT_BLOCK_ROWS = 16  # 289 vs 271 Mrays/s at 8 on the 1080p bench (r3)
 
 VEC3_FIELDS = ("diffuse", "emissive", "glow")
 SCALAR_FIELDS = ("param", "ior", "reflectivity", "frost")

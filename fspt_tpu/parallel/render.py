@@ -27,7 +27,8 @@ def sharded_framebuffer(mesh, height: int, width: int) -> fb_mod.Framebuffer:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), fb)
 
 
-def make_sharded_render_step(mesh, cfg: RenderConfig, intersector=None):
+def make_sharded_render_step(mesh, cfg: RenderConfig, intersector=None,
+                             queue: int | None = None):
     """Build a jitted render step running one scanline band per device.
 
     ``intersector`` (static) is threaded to the integrator — this is how the
@@ -35,19 +36,37 @@ def make_sharded_render_step(mesh, cfg: RenderConfig, intersector=None):
     culled-treelet mesh BVH sweep) run under the device mesh; the reference's
     parallel model is exactly "the hot path × N workers" (engine.cpp:261-274).
     For the camera-fused megakernel use :func:`make_sharded_megakernel_step`.
+
+    ``queue`` switches each device's band onto the regenerating ray queue
+    (render/queue.py) — full-occupancy bounce iterations per device, the
+    configuration the mesh bench runs single-chip.  Requires a
+    liveness-aware ``intersector``.
     """
     n = mesh.devices.size
     if cfg.height % n != 0:
         raise ValueError(f"height {cfg.height} not divisible by {n} devices")
     rows_local = cfg.height // n
+    if queue is not None and intersector is None:
+        raise ValueError("queue mode needs an intersector")
 
     def local_step(scene, camera, fb_local, seed, frame_idx):
         band = jax.lax.axis_index(RAY_AXIS)
         y0 = band * rows_local
-        fb_local, segs = integrator.render_step(
-            scene, camera, cfg, fb_local, seed, frame_idx, y0=y0,
-            intersector=intersector,
-        )
+        if queue is not None:
+            from fspt_tpu.render.queue import render_queued
+
+            out = render_queued(scene, camera, cfg, seed,
+                                frame_idx * cfg.spp, y0=y0, rows=rows_local,
+                                intersector=intersector, queue=queue)
+            fb_local = fb_mod.accumulate(
+                fb_local, out.radiance, out.aov_normal, out.aov_depth,
+                out.aov_mat, rows_local, cfg.width, cfg.spp)
+            segs = out.segments
+        else:
+            fb_local, segs = integrator.render_step(
+                scene, camera, cfg, fb_local, seed, frame_idx, y0=y0,
+                intersector=intersector,
+            )
         return fb_local, jax.lax.psum(segs, RAY_AXIS)
 
     fn = jax.shard_map(

@@ -49,13 +49,15 @@ DEFAULT_QUEUE = 1 << 18
 
 def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
                   seed, sample0, y0=0, rows=None, *, intersector,
-                  queue: int = DEFAULT_QUEUE) -> TraceOutput:
+                  queue: int = DEFAULT_QUEUE, aovs: bool = True
+                  ) -> TraceOutput:
     """Render a band through a regenerating ray queue.
 
     Drop-in for ``render_wavefront`` (bit-identical output) for forward
     rendering with a liveness-aware ``intersector``.  ``queue`` is the
     number of in-flight lanes per iteration; the band is streamed through
-    it.
+    it.  ``aovs=False`` skips the AOV scatter buffers (zeros returned) for
+    radiance-only consumers such as loss evaluation.
     """
     if cfg.edge_eps > 0.0:
         raise NotImplementedError("render_queued does not support edge_eps")
@@ -155,13 +157,17 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
                            uniforms)
 
         at0 = depth == 0
-        aovn = scatter_mask(st["aov_normal"], at0, st["lane_id"],
-                            jnp.where(hit.hit[:, None], normal, view_dir))
-        aovd = scatter_mask(
-            st["aov_depth"], at0, st["lane_id"],
-            jnp.where(hit.hit, vm.length(hit.point - o), z_far))
-        aovm = scatter_mask(st["aov_mat"], at0, st["lane_id"],
-                            jnp.where(hit.hit, hit.mat, scene.sky_mat))
+        if aovs:
+            aovn = scatter_mask(st["aov_normal"], at0, st["lane_id"],
+                                jnp.where(hit.hit[:, None], normal, view_dir))
+            aovd = scatter_mask(
+                st["aov_depth"], at0, st["lane_id"],
+                jnp.where(hit.hit, vm.length(hit.point - o), z_far))
+            aovm = scatter_mask(st["aov_mat"], at0, st["lane_id"],
+                                jnp.where(hit.hit, hit.mat, scene.sky_mat))
+        else:
+            aovn, aovd, aovm = (st["aov_normal"], st["aov_depth"],
+                                st["aov_mat"])
         plh = jnp.where(at0, hit.hit & sh.is_light, st["plh"])
         mark = active & sh.is_fog & at0
         fog_active = fog_active | mark

@@ -187,3 +187,32 @@ def test_fused_recovery_step_reduces_loss():
         params, loss = recover(params, scene, camera, target, 5, 0)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.35, losses
+
+
+def test_sharded_queued_mesh_matches_single_device():
+    """The regenerating ray queue (the mesh bench configuration) runs one
+    queue per device band and matches the single-device queued render."""
+    from fspt_tpu.ops.pallas_bvh import make_mesh_intersector
+    from fspt_tpu.render.queue import render_queued
+    from test_diff_intersect import build_bvh_scene
+
+    builder = build_bvh_scene()
+    scene = builder.compile()
+    camera = builder.cameras[0]
+    cfg = RenderConfig(width=16, height=16, spp=1, max_depth=3)
+
+    inter = make_mesh_intersector(scene)
+    assert inter is not None
+    out1 = jax.jit(lambda: render_queued(
+        scene, camera, cfg, 7, 0, intersector=inter, queue=64))()
+    fb1 = fb_mod.accumulate(
+        fb_mod.create(cfg.height, cfg.width), out1.radiance, out1.aov_normal,
+        out1.aov_depth, out1.aov_mat, cfg.height, cfg.width, cfg.spp)
+
+    mesh = make_mesh(8)
+    fb8 = sharded_framebuffer(mesh, cfg.height, cfg.width)
+    step8 = make_sharded_render_step(mesh, cfg, intersector=inter, queue=64)
+    fb8, segs8 = step8(scene, camera, fb8, 7, 0)
+    np.testing.assert_allclose(np.asarray(fb1.mean), np.asarray(fb8.mean),
+                               rtol=2e-5, atol=1e-6)
+    assert int(out1.segments) == int(segs8)
