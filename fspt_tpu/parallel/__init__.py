@@ -14,6 +14,10 @@ from fspt_tpu.parallel.render import (
     make_sharded_render_step,
     sharded_framebuffer,
 )
+from fspt_tpu.parallel.scene_shard import (
+    make_scene_sharded_render_step,
+    shard_scene_triangles,
+)
 from fspt_tpu.parallel.train import (
     apply_vertices,
     make_bvh_vertex_recovery_step,
@@ -28,6 +32,8 @@ __all__ = [
     "make_sharded_render_step",
     "make_sharded_megakernel_step",
     "sharded_framebuffer",
+    "make_scene_sharded_render_step",
+    "shard_scene_triangles",
     "make_recovery_step",
     "make_fused_recovery_step",
     "make_vertex_recovery_step",
