@@ -51,9 +51,8 @@ def main(argv=None):
 
     from fspt_tpu.config import RenderConfig
     from fspt_tpu.ops.pallas_path import make_camera_path_tracer
-    from fspt_tpu.ops.pallas_trace import make_pallas_intersector
     from fspt_tpu.render import framebuffer as fb_mod
-    from fspt_tpu.render import integrator
+    from fspt_tpu.render.dispatch import make_scene_step
     from fspt_tpu.scene.parser import load_scene
     from fspt_tpu.utils.image import write_image
 
@@ -81,20 +80,14 @@ def main(argv=None):
                                    cfg.height, cfg.width, cfg.spp)
             return fb, out.segments
     else:
-        intersector = None
-        if scene.bvh is None:
-            intersector = make_pallas_intersector(scene.geometry)
-        if intersector is not None:
-            name = "pallas intersect + XLA shade"
-        elif scene.bvh is not None:
-            name = "XLA + flattened-BVH traversal"
-        else:
-            name = "XLA brute force"
+        # Same cascade bench.py measures (VERDICT r3 #2): BVH scenes get
+        # the queued wavefront + Pallas treelet sweep, analytic scenes the
+        # baked Pallas intersect kernel, else the XLA fallbacks.
+        name, scene_step = make_scene_step(scene, cfg)
         print(f"render path: {name}")
 
         def step(fb, frame_idx):
-            return integrator.render_step(scene, camera, cfg, fb, args.seed,
-                                          frame_idx, intersector=intersector)
+            return scene_step(scene, camera, fb, args.seed, frame_idx)
 
     step = jax.jit(step)
     fb = fb_mod.create(cfg.height, cfg.width)

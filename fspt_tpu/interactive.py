@@ -26,7 +26,6 @@ import numpy as np
 
 from fspt_tpu.camera import Camera, probe_ray
 from fspt_tpu.config import RenderConfig
-from fspt_tpu.ops.intersect import intersect_scene
 from fspt_tpu.render import framebuffer as fb_mod
 from fspt_tpu.render import integrator
 
@@ -35,10 +34,11 @@ def trace_range(scene, camera: Camera, width: int, height: int, x, y):
     """Distance from the camera to the first hit under pixel (x, y).
 
     The reference's ``TraceRange`` (engine.cpp:298-329): un-jittered center
-    ray, scene trace, distance or z_far on miss.
+    ray, FULL scene trace (analytic primitives ∪ BVH triangles — the
+    reference traces meshes here too), distance or z_far on miss.
     """
     start, seg = probe_ray(camera, width, height, x, y)
-    hit = intersect_scene(scene.geometry, start[None], seg[None])
+    hit = integrator.intersect_full(scene, start[None], seg[None])
     dist = jax.numpy.linalg.norm(hit.point[0] - start)
     return jax.numpy.where(hit.hit[0], dist, camera.z_far)
 
@@ -57,6 +57,7 @@ class RenderSession:
         self.fast_render = False
         self._fb = fb_mod.create(self.cfg.height, self.cfg.width)
         self._steps = {}
+        self.path_name = None  # set on first refine()
 
     # -- interactions (main.cpp:117-154) -----------------------------------
 
@@ -93,23 +94,31 @@ class RenderSession:
     # -- rendering ----------------------------------------------------------
 
     def _step_fn(self):
+        """Jitted step for the current cfg, on the fastest scene path.
+
+        Uses the same cascade as cli.py/bench.py (render/dispatch.py):
+        BVH scenes run the queued wavefront + Pallas treelet sweep, not
+        the XLA miss-link walk (VERDICT r3 #2).  The camera rides as a
+        live argument, so orbit/focus do not recompile.
+        """
         import dataclasses
+
+        from fspt_tpu.render.dispatch import make_scene_step
 
         cfg = self.cfg
         if self.fast_render:
             cfg = dataclasses.replace(cfg, fast_render=True)
-        key = cfg
-        if key not in self._steps:
-            self._steps[key] = jax.jit(
-                integrator.render_step, static_argnames=("cfg",)
-            )
-        return self._steps[key], cfg
+        if cfg not in self._steps:
+            name, step = make_scene_step(self.scene, cfg)
+            self.path_name = name
+            self._steps[cfg] = jax.jit(step)
+        return self._steps[cfg]
 
     def refine(self, frames: int = 1):
-        step, cfg = self._step_fn()
+        step = self._step_fn()
         segments = 0
         for _ in range(frames):
-            self._fb, segs = step(self.scene, self.camera, cfg, self._fb,
+            self._fb, segs = step(self.scene, self.camera, self._fb,
                                   self.seed, self.frame)
             self.frame += 1
             segments += int(segs)

@@ -49,6 +49,12 @@ def shard_scene_triangles(scene: ScenePack, n_shards: int):
     """
     assert scene.bvh is not None, "scene sharding needs a BVH scene"
     f = np.asarray
+    if int(np.asarray(scene.bvh.tri_v0).shape[0]) < n_shards:
+        raise ValueError(
+            f"scene has {int(np.asarray(scene.bvh.tri_v0).shape[0])} "
+            f"triangles but {n_shards} shards were requested; scene "
+            "sharding is the capacity path for large scenes — replicate "
+            "small scenes instead (or use fewer shards)")
     order0 = np.argsort(f(scene.bvh.tri_id))
     v0 = f(scene.bvh.tri_v0)[order0]
     v1 = v0 + f(scene.bvh.tri_e1)[order0]
@@ -154,8 +160,14 @@ def make_scene_sharded_render_step(mesh, cfg: RenderConfig,
     shard's tables) and the per-bounce closest hit merges with pmin/psum.
     Output framebuffer is replicated (identical on every device).
 
-    Returns ``step(scene, camera, fb, seed, frame_idx) → (fb, segments)``
-    plus the stacked shard pytree is baked in.
+    Returns ``step(scene, camera, fb, seed, frame_idx) → (fb, segments)``.
+
+    Baked-scene contract: the triangle shards (sub-BVHs, shading tables,
+    global ids) are built ONCE from the ``scene`` passed here and closed
+    over; ``step``'s ``scene_in`` argument supplies only the live analytic
+    geometry/materials/textures.  Passing a ``scene_in`` whose triangles
+    differ from the build-time scene renders the baked triangles against
+    the new materials — rebuild the step for a new triangle set.
     """
     n = mesh.devices.size
     stacked_bvh, stacked_shade, stacked_gids = shard_scene_triangles(scene, n)

@@ -71,6 +71,15 @@ def _intersect_with_bvh(scene: "ScenePack", start, seg) -> Hit:
     )
 
 
+def intersect_full(scene: "ScenePack", start, seg) -> Hit:
+    """Closest hit against the FULL scene: analytic primitives ∪ BVH
+    triangles.  The one-stop probe used by TraceRange-style queries
+    (reference engine.cpp:298-329 traces the whole scene, meshes included)."""
+    if scene.bvh is not None:
+        return _intersect_with_bvh(scene, start, seg)
+    return intersect_scene(scene.geometry, start, seg)
+
+
 class TraceOutput(NamedTuple):
     radiance: jnp.ndarray  # [N,3]
     aov_normal: jnp.ndarray  # [N,3]

@@ -53,8 +53,10 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
                   ) -> TraceOutput:
     """Render a band through a regenerating ray queue.
 
-    Drop-in for ``render_wavefront`` (bit-identical output) for forward
-    rendering with a liveness-aware ``intersector``.  ``queue`` is the
+    Drop-in for ``render_wavefront`` — deterministically equivalent
+    (float agreement to ~ulp level, exact integer outputs; see the module
+    docstring and tests/test_queue.py) for forward rendering with a
+    liveness-aware ``intersector``.  ``queue`` is the
     number of in-flight lanes per iteration; the band is streamed through
     it.  ``aovs=False`` skips the AOV scatter buffers (zeros returned) for
     radiance-only consumers such as loss evaluation.
@@ -111,7 +113,15 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         lane is owned by one lineage).  unique_indices=True is safe for
         "last writer wins on the pad row, don't care which" and lets XLA
         emit a parallel scatter instead of a serialized one (5.2 ms/iter →
-        sub-ms on the 1M-row radiance buffer, profiled)."""
+        sub-ms on the 1M-row radiance buffer, profiled).
+
+        Contract risk (documented, accepted): JAX specifies non-unique
+        indices under unique_indices=True as undefined behavior; we rely
+        on XLA confining the race to pad row ``n``, which is sliced off
+        before return.  If a future backend miscompiles this,
+        test_queue.py's equality tests catch it; the defined-semantics
+        fallback is scattering where(mask, idx, n + lane_iota) into an
+        n+q-row buffer."""
         tgt = jnp.where(mask & (idx >= 0), idx, n)  # row n is the pad slot
         return buf.at[tgt].set(val, mode="drop", unique_indices=True)
 
