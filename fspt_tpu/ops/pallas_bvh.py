@@ -807,10 +807,57 @@ GROUP = 4  # treelets swept per kernel iteration (amortizes fixed costs)
 CULL_BATCH = 8  # ray blocks per cull-kernel grid step (sublane-tiling min)
 
 
+def treelet_tables(bvh: FlatBVH, n_leaves_pad: int = None,
+                   n_tris_pad: int = None):
+    """Host-side packed table pytree for :func:`make_culled_traverser`.
+
+    With ``n_leaves_pad``/``n_tris_pad`` the tables pad to common shapes so
+    per-shard tables can stack on a leading axis and ride a device mesh
+    (parallel/scene_shard fast path): pad leaves carry inverted bounds and
+    huge areas (they survive neither the cull nor the MT validity test),
+    pad triangles carry ``tri_id`` −1.
+    """
+    packed = PackedTreelets(bvh)
+    f = np.asarray
+    L = packed.n_leaves
+    Lp = n_leaves_pad or L
+    assert Lp >= L
+    count_np = f(bvh.count)
+    leaf_nodes = np.nonzero(count_np > 0)[0]
+    lbmin = f(bvh.bmin)[leaf_nodes].astype(np.float32)
+    lbmax = f(bvh.bmax)[leaf_nodes].astype(np.float32)
+    pl_ = Lp - L
+    lbmin = np.concatenate([lbmin, np.full((pl_, 3), 3.0e38, np.float32)])
+    lbmax = np.concatenate([lbmax, np.full((pl_, 3), -3.0e38, np.float32)])
+    w = packed.w_mxu
+    w = np.concatenate([w, np.zeros((pl_ * _NF, w.shape[1]), np.float32)])
+    area = np.concatenate(
+        [packed.area, np.full((pl_, TREELET), 3.0e38, np.float32)])
+    leaf_first = np.concatenate([
+        f(bvh.first)[leaf_nodes].astype(np.int32), np.zeros(pl_, np.int32)])
+    Tn = f(bvh.tri_v0).shape[0]
+    Tp = n_tris_pad or Tn
+    assert Tp >= Tn
+    pt = Tp - Tn
+
+    def padt(a, fill=0):
+        a = f(a)
+        pad = np.full((pt,) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, pad])
+
+    return dict(
+        lbmin=lbmin, lbmax=lbmax, w_mxu=w, area=area, leaf_first=leaf_first,
+        tri_v0=padt(bvh.tri_v0), tri_e1=padt(bvh.tri_e1),
+        tri_e2=padt(bvh.tri_e2), tri_id=padt(bvh.tri_id, -1),
+    )
+
+
 def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
                           sub_bundles: int = 128, group: int = GROUP,
                           precision=jax.lax.Precision.HIGHEST,
-                          interpret: bool | None = None):
+                          interpret: bool | None = None,
+                          ablate: str = "", early_exit: bool = True,
+                          tables=None):
     """Compile ``fn(start[N,3], seg[N,3], t_init[N]) → (t, tri_id, u, v)``.
 
     ``bvh`` must be built with max_leaf=TREELET.  Lanes with t_init<=0 are
@@ -818,44 +865,41 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
     no leaf work.  Each block's leaf list is the union of ``sub_bundles``
     tighter per-bundle frustum culls (strictly fewer survivors than one
     block-wide frustum).
+
+    ``ablate`` / ``early_exit`` are DEV-ONLY roofline knobs (results are
+    wrong under ablation): ``"dot"`` strips the per-leaf epilogue (isolates
+    MXU+DMA cost), ``"lite"`` keeps the validity/depth math but drops the
+    winner-id bookkeeping; ``early_exit=False`` pins the trip count so
+    variants sweep identical visit counts.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    packed = PackedTreelets(bvh)
+    if tables is None:
+        tables = {k: jnp.asarray(v) for k, v in treelet_tables(bvh).items()}
+    T = tables  # baked constants or traced per-shard arrays (scene sharding)
     R = block_rays
     S = sub_bundles
     assert R % S == 0
     G = group
     assert LANE % G == 0
-    n_leaves = packed.n_leaves
+    n_leaves = int(T["area"].shape[0])
     l_rows = max(1, (n_leaves + LANE - 1) // LANE)
     l_pad = l_rows * LANE
     big = jnp.float32(3.0e38)
 
-    # Leaf AABBs in leaf order (PackedTreelets preserves pre-order leaf rank).
-    f = np.asarray
-    count_np = f(bvh.count)
-    leaf_nodes = np.nonzero(count_np > 0)[0]
-    lbmin = jnp.asarray(f(bvh.bmin)[leaf_nodes], jnp.float32)  # [L,3]
-    lbmax = jnp.asarray(f(bvh.bmax)[leaf_nodes], jnp.float32)
+    lbmin = T["lbmin"]  # [L,3], pad leaves carry inverted boxes
+    lbmax = T["lbmax"]
 
-    # Lane-packed leaf bounds for the Pallas cull kernel.  Pad leaves get
+    # Lane-packed leaf bounds for the Pallas cull kernel.  Pad slots get
     # inverted boxes (lo=+big, hi=-big): t_lo > t_hi for every ray, so they
     # can never survive the cull.
-    def _lane_pack_bounds(arr, fill):
-        out = np.full((l_pad,), fill, np.float32)
-        out[:n_leaves] = arr
-        return out.reshape(l_rows, LANE)
+    def _lane_pack_bounds(col, fill):
+        return jnp.concatenate([
+            col, jnp.full((l_pad - n_leaves,), fill, jnp.float32)
+        ]).reshape(l_rows, LANE)
 
-    lbmin_np = f(bvh.bmin)[leaf_nodes].astype(np.float32)
-    lbmax_np = f(bvh.bmax)[leaf_nodes].astype(np.float32)
-    cull_bounds = [
-        jnp.asarray(_lane_pack_bounds(lbmin_np[:, a], 3.0e38))
-        for a in range(3)
-    ] + [
-        jnp.asarray(_lane_pack_bounds(lbmax_np[:, a], -3.0e38))
-        for a in range(3)
-    ]
+    cull_bounds = [_lane_pack_bounds(lbmin[:, a], 3.0e38) for a in range(3)] \
+        + [_lane_pack_bounds(lbmax[:, a], -3.0e38) for a in range(3)]
 
     def cull(start_b, seg_b, t0_b):
         """[B,R,3]×2, [B,R] → sorted leaf ids [B,Lp], entry t [B,Lp], counts [B,1]."""
@@ -1018,7 +1062,10 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
             idx = jnp.minimum(nk, count - 1)
             leaves_n = read_group(idx)
             tlo_next = tlo_ref[0, 0, idx]
-            cont = (nk < count) & (tlo_next <= t_blk)
+            if early_exit:
+                cont = (nk < count) & (tlo_next <= t_blk)
+            else:
+                cont = nk < count
             parity = (k // G) % 2
             jax.lax.cond(cont, lambda: fetch_par(leaves_n, 1 - parity),
                          lambda: None)
@@ -1029,6 +1076,16 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
             W = jnp.where(parity == 0, w_scratch0[:], w_scratch1[:])
             out_all = jnp.dot(F, W, preferred_element_type=jnp.float32,
                               precision=precision)  # (R, G·NQ·128)
+            if ablate == "dot":
+                # Consume the dot result without the epilogue (min with a
+                # value >= 2 never changes t_best <= 1, but Mosaic cannot
+                # fold it away).
+                t_best = jnp.minimum(
+                    t_best,
+                    jnp.min(out_all, axis=1, keepdims=True) * jnp.float32(1e-30)
+                    + 2.0)
+                k = jnp.where(cont, nk, count)
+                return (k, vis + G, t_best, best, *leaves_n)
             for j in range(G):
                 base_c = j * _NQ * TREELET
                 det = out_all[:, base_c + 0 * TREELET:base_c + 1 * TREELET]
@@ -1056,6 +1113,11 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
                 ok = ((min4 >= 0) & (tn < t_best * ad)
                       & (ad >= vm.EPSILON * area))
                 tc = tn / jnp.where(ok, ad, 1.0)
+                if ablate == "lite":
+                    t_new = jnp.min(jnp.where(ok, tc, jnp.float32(3.0e38)),
+                                    axis=1, keepdims=True)
+                    t_best = jnp.minimum(t_best, t_new)
+                    continue
                 # One fused reduction: non-negative f32 bits are order-
                 # preserving as int32, so pack (t bits, column) into one key
                 # and min-reduce once — replaces the old t_min + j_min pair.
@@ -1094,11 +1156,10 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
                          memory_space=pltpu.SMEM)
     ospec = pl.BlockSpec((R, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    w_rows = jnp.asarray(packed.w_mxu)
-    area = jnp.asarray(packed.area)
+    w_rows = T["w_mxu"]
+    area = T["area"]
     # Triangle lookup for the post-pass: leaf ordinal → first tri slot.
-    first_np = f(bvh.first)
-    leaf_first = jnp.asarray(first_np[leaf_nodes], jnp.int32)
+    leaf_first = T["leaf_first"]
 
     def cull_kernel(rays_ref, bmnx_ref, bmny_ref, bmnz_ref,
                     bmxx_ref, bmxy_ref, bmxz_ref, key_ref):
@@ -1252,9 +1313,9 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
         hit = best >= 0
         leaf = jnp.maximum(best, 0) // TREELET
         slot = leaf_first[leaf] + jnp.maximum(best, 0) % TREELET
-        v0g = bvh.tri_v0[slot]
-        e1g = bvh.tri_e1[slot]
-        e2g = bvh.tri_e2[slot]
+        v0g = T["tri_v0"][slot]
+        e1g = T["tri_e1"][slot]
+        e2g = T["tri_e2"][slot]
         pvec = jnp.cross(seg, e2g)
         det = jnp.sum(e1g * pvec, axis=-1)
         inv = 1.0 / jnp.where(jnp.abs(det) > 0, det, 1.0)
@@ -1264,7 +1325,7 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
         v = jnp.sum(seg * qvec, axis=-1) * inv
         t_re = jnp.sum(e2g * qvec, axis=-1) * inv
         t = jnp.where(hit, t_re, t_kern)
-        tid = jnp.where(hit, bvh.tri_id[slot], -1)
+        tid = jnp.where(hit, T["tri_id"][slot], -1)
         return t, tid, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
 
     def traverse(start, seg, t_init=None):

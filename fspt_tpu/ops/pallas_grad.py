@@ -48,6 +48,7 @@ from fspt_tpu.ops.pallas_path import (
     MosaicOps,
     build_fused_raygen,
     build_path_core,
+    fold_deferred_params,
 )
 
 DEFAULT_BLOCK_ROWS = 16  # 289 vs 271 Mrays/s at 8 on the 1080p bench (r3)
@@ -288,5 +289,137 @@ def make_grad_image_fn(scene_pack, camera, cfg,
         out = tracer(pvec, seed, frame_idx * cfg.spp, lane0, n)
         img = out.radiance.reshape(rows, cfg.width, cfg.spp, 3).mean(axis=2)
         return img, out.segments
+
+    return img_fn
+
+
+def make_affine_grad_image_fn(scene_pack, camera, cfg,
+                              block_rows: int = DEFAULT_BLOCK_ROWS,
+                              interpret: bool | None = None):
+    """Affine-deferred gradient renderer — radiometric fields, any
+    specialized scene (textured included).
+
+    The camera-fused megakernel runs in ``defer_all`` mode
+    (pallas_path.build_path_core): it traces the exact path and emits the
+    per-depth affine transfer planes; the radiance fold
+    (fold_deferred_params) runs in XLA over traced table columns and
+    texels, so the WHOLE radiometric gradient comes from plain XLA AD of
+    a tiny epilogue — no backward kernel, no path re-trace, and the
+    Pallas kernel never recompiles as the optimizer moves the parameters.
+
+    Returns ``img_fn(params, seed, frame_idx, y0, rows) → ([rows,W,3]
+    mean-over-spp image, segments)`` differentiable w.r.t. ``params`` —
+    a dict with any of the keys ``diffuse``/``emissive``/``glow`` ([M,3]
+    columns) and ``texels`` ([T,3] texel buffer) — or None when the scene
+    can't be specialized.  Exact for radiometric fields (path geometry
+    never depends on them); scalar fields that bend rays
+    (param/ior/reflectivity/frost) need make_grad_path_tracer.
+    """
+    if scene_pack.bvh is not None:
+        return None
+    mats = HostMaterials(scene_pack.materials)
+    scene = HostScene(scene_pack.geometry)
+    if scene.prim_count > MAX_SPECIALIZED_PRIMS:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sky_idx = int(scene_pack.sky_mat)
+    cam = HostCamera(camera, cfg.width, cfg.height)
+    core = build_path_core(scene, mats, cfg, sky_idx, cam.z_far,
+                           ops=MosaicOps, defer_all=True)
+    raygen = build_fused_raygen(cam, cfg)
+    n_slots = cfg.effective_depth + (1 if cfg.fast_render else 0)
+    textured = mats.any_textured
+    # f32 planes: s, k, se (+ u, v when the scene samples real textures).
+    fkeys = ("s", "k", "se") + (("u", "v") if textured else ())
+    ikeys = ("mat", "mat_e")
+
+    def kernel(h0_ref, s0_ref, lane0_ref, *out_refs):
+        f_refs = out_refs[:len(fkeys)]
+        i_refs = out_refs[len(fkeys):len(fkeys) + 2]
+        pl_ref, seg_ref = out_refs[len(fkeys) + 2:]
+        shape = pl_ref.shape
+        pid = pl.program_id(0)
+        sx, sy, sz, dx, dy, dz, pix_i, smp_i = raygen(
+            h0_ref[0], s0_ref[0], lane0_ref[0], shape, pid)
+        h0_i = jnp.full(shape, h0_ref[0], jnp.int32)
+        slots, p_light, _anx, _any, _anz, _ad, _am, seg = core(
+            h0_i, sx, sy, sz, dx, dy, dz, pix_i, smp_i)
+        for d, sl in enumerate(slots):
+            for fi, nm in enumerate(fkeys):
+                f_refs[fi][d] = sl[nm]
+            for ii, nm in enumerate(ikeys):
+                i_refs[ii][d] = sl[nm]
+        pl_ref[:] = p_light.astype(jnp.int32)
+        seg_ref[:] = seg
+
+    def planes(seed, sample0, lane0, n):
+        from fspt_tpu.ops import rng as rng_mod
+
+        rows = pl.cdiv(n, LANE)
+        pad_rows = pl.cdiv(rows, block_rows) * block_rows
+        seed_u = jnp.asarray(seed).astype(jnp.uint32)
+        h0 = rng_mod.pcg_hash(seed_u ^ jnp.uint32(0x9E3779B9))
+        h0 = jax.lax.bitcast_convert_type(h0, jnp.int32).reshape(1)
+        s0 = jnp.asarray(sample0, jnp.int32).reshape(1)
+        l0 = jnp.asarray(lane0, jnp.int32).reshape(1)
+
+        grid = (pad_rows // block_rows,)
+        slot_bspec = pl.BlockSpec((n_slots, block_rows, LANE),
+                                  lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)
+        bspec = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        f32 = jnp.float32
+        slot_shape = (n_slots, pad_rows, LANE)
+        out_shapes = [jax.ShapeDtypeStruct(slot_shape, f32)] * len(fkeys)
+        out_shapes += [jax.ShapeDtypeStruct(slot_shape, jnp.int32)] * 2
+        out_shapes += [jax.ShapeDtypeStruct((pad_rows, LANE), jnp.int32)] * 2
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[sspec] * 3,
+            out_specs=[slot_bspec] * (len(fkeys) + 2) + [bspec] * 2,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(h0, s0, l0)
+
+        flat = lambda a: a.reshape(n_slots, -1)[:, :n]
+        fields = {nm: flat(o) for nm, o in zip(fkeys, outs)}
+        mat = flat(outs[len(fkeys)])
+        mat_e = flat(outs[len(fkeys) + 1])
+        pl_mask = outs[len(fkeys) + 2].reshape(-1)[:n] != 0
+        segc = outs[len(fkeys) + 3].reshape(-1)[:n]
+        return fields, mat, mat_e, pl_mask, jnp.sum(segc)
+
+    table = scene_pack.materials
+    base_tex = scene_pack.textures
+
+    def img_fn(params, seed, frame_idx, y0, rows):
+        n = rows * cfg.width * cfg.spp
+        lane0 = y0 * cfg.width * cfg.spp
+        sg = jax.lax.stop_gradient
+        fields, mat, mat_e, pl_mask, segs = planes(
+            seed, frame_idx * cfg.spp, lane0, n)
+        fields = {kk: sg(vv) for kk, vv in fields.items()}
+        diffuse = params.get("diffuse", table.diffuse)
+        emissive = params.get("emissive", table.emissive)
+        glow = params.get("glow", table.glow)
+        tex = base_tex
+        if "texels" in params:
+            tex = base_tex._replace(texels=params["texels"])
+        if textured:
+            u, v = fields["u"], fields["v"]
+        else:
+            u = v = jnp.zeros_like(fields["s"])
+        Lx, Ly, Lz = fold_deferred_params(
+            mats, cfg, diffuse, emissive, glow, tex,
+            fields["s"], fields["k"], fields["se"], sg(mat), sg(mat_e),
+            u, v, sg(pl_mask))
+        rad = jnp.stack([Lx, Ly, Lz], axis=-1)
+        img = rad.reshape(rows, cfg.width, cfg.spp, 3).mean(axis=2)
+        return img, segs
 
     return img_fn

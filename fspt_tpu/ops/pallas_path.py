@@ -66,6 +66,7 @@ class HostMaterials:
         self.reflectivity = f(table.reflectivity)
         self.frost = f(table.frost)
         self.tex_id = f(table.tex_id)
+        self.tex_scale = f(table.tex_scale)
 
     @property
     def count(self):
@@ -172,7 +173,8 @@ def _refract(vx, vy, vz, nx, ny, nz, index):
 
 def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                     z_far_default: float, ops=MosaicOps, tmats=None,
-                    intersect=None, deferred_tex: bool = False):
+                    intersect=None, deferred_tex: bool = False,
+                    defer_all: bool = False):
     """Build the path-tracing body as a pure array function.
 
     ``core(h0_i32, sx, sy, sz, dx, dy, dz, pix_i32, smp_i32) →
@@ -198,7 +200,26 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
       ``s, k0..2, se, ke0..2, u, v, mat``; the texture gather + fold +
       depth-0 light clamp run outside (fold_deferred_radiance) where
       per-lane gathers are cheap.  Radiance planes are not produced.
+    * ``defer_all``: affine-deferred PARAMETER transfer — the gradient-fast
+      generalization of ``deferred_tex``.  Every radiometric table value
+      (diffuse/emissive/glow columns, texels) is treated as a deferred
+      "virtual texel": the kernel emits per-depth planes
+      ``s, k, se, mat_c, mat_e`` (+ ``u, v`` when the scene has real
+      textures) where ``coef_c = value_c(mat_c)·s + k`` and
+      ``bias_c = value_e(mat_e)·se``.  ``k`` is channel-independent (only
+      pure shape numbers like the ceramic spike land there), and the value
+      column per row is static (diffuse for coefs; emissive/glow/diffuse
+      for light/glow/fog bias rows).  The fold
+      (fold_deferred_params) gathers those columns in XLA, so radiance is
+      differentiable w.r.t. the whole radiometric table (and texels) by
+      plain XLA AD — the kernel itself is parameter-independent and never
+      recompiles during optimization.  Path geometry never depends on the
+      radiometric columns, so this gradient is exact for them; scalar
+      fields that bend rays (param/ior/reflectivity/frost) need the
+      in-kernel-adjoint tracer (ops/pallas_grad.make_grad_path_tracer).
     """
+    if defer_all:
+        deferred_tex = True  # defer_all extends the deferred machinery
     if tmats is None:
         tmats = mats
     if intersect is None:
@@ -230,6 +251,7 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
         f_dx = f_dy = f_dz = zero  # fog diffuse color
         f_dens = zero
         f_u = zero
+        f_row = jnp.full(sx.shape, -1, jnp.int32)  # fog material row
 
         aov_nx = aov_ny = aov_nz = zero
         aov_d = zero
@@ -249,6 +271,7 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
             sl_ke0 = sl_ke1 = sl_ke2 = zero
             sl_u = sl_v = zero
             sl_mat = jnp.full(sx.shape, -1, jnp.int32)
+            sl_mat_e = jnp.full(sx.shape, -1, jnp.int32)  # defer_all bias row
 
             # Note: a whole-block early-exit (lax.cond around the intersect
             # once every lane is dead) was measured 15% SLOWER than straight-
@@ -276,7 +299,12 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                 dist2 = ddx * ddx + ddy * ddy + ddz * ddz
                 thresh = jnp.clip(dist2 * f_dens * 0.00005, 0.0, 1.0)
                 absorbed = f_active & (f_u < thresh) & alive
-                if deferred_tex:
+                if defer_all:
+                    # Fog bias event: value = diffuse[fog row] (the row's
+                    # bias column is diffuse — static by material kind).
+                    sl_se = jnp.where(absorbed, one, sl_se)
+                    sl_mat_e = jnp.where(absorbed, f_row, sl_mat_e)
+                elif deferred_tex:
                     # Fog bias event: ke = fog diffuse (never textured;
                     # shade_planar fdx parity).
                     sl_ke0 = jnp.where(absorbed, f_dx, sl_ke0)
@@ -291,7 +319,18 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
 
             # Miss → sky (engine.cpp:92-101).
             miss = alive & ~hit
-            if deferred_tex and sky_textured:
+            if defer_all:
+                # Sky bias event: value = emissive[sky] ×3 (scene.cpp:
+                # 157-162), or the sky texture sample when textured.
+                sl_se = jnp.where(miss, 3.0, sl_se)
+                sl_mat_e = jnp.where(miss, sky_idx, sl_mat_e)
+                if sky_textured:
+                    mvx, mvy, mvz = _norm3(dx, dy, dz)
+                    sku = _atan2(mvx, mvz) / (2.0 * vm.PI) + 0.5
+                    skv = 1.0 - (mvy * 0.5 + 0.5)
+                    sl_u = jnp.where(miss, sku, sl_u)
+                    sl_v = jnp.where(miss, skv, sl_v)
+            elif deferred_tex and sky_textured:
                 # Textured sky: se=3 and sphere-map uv of the view direction
                 # (scene.cpp:157-162, intersect.cpp:779-784).
                 mvx, mvy, mvz = _norm3(dx, dy, dz)
@@ -359,7 +398,13 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                 d0, d1, d2 = dif[0], dif[1], dif[2]
 
                 if mtype == M.LIGHT:
-                    if tex_row:
+                    if defer_all:
+                        # Bias event: value = emissive[mrow] (or the row's
+                        # emission texture — resolved by the fold's static
+                        # per-row column map).
+                        sl_se = jnp.where(msk, 1.0, sl_se)
+                        sl_mat_e = jnp.where(msk, mrow, sl_mat_e)
+                    elif tex_row:
                         # Textured emission: bias = tex (material.cpp:38-44).
                         sl_se = jnp.where(msk, 1.0, sl_se)
                     else:
@@ -376,7 +421,7 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                     w = ndl > M.DIFFUSE_CONTRIB_THRESHOLD
                     nl = jnp.maximum(ndl, 0.0)
                     ccx, ccy, ccz = d0 * nl, d1 * nl, d2 * nl
-                    if tex_row:
+                    if tex_row or defer_all:
                         dsk = (nl, zero, zero, zero)
                 elif mtype == M.METAL:
                     rough = tmats.param[mrow]
@@ -388,12 +433,14 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                     nl = jnp.maximum(ndl, 0.0)
                     f = rough * nl + (1.0 - rough)
                     ccx, ccy, ccz = d0 * f, d1 * f, d2 * f
-                    if tex_row:
+                    if tex_row or defer_all:
                         dsk = (f, zero, zero, zero)
                 elif mtype == M.MIRROR:
                     ox, oy, oz = rx, ry, rz
                     w = jnp.ones_like(msk)
                     ccx, ccy, ccz = d0 * one, d1 * one, d2 * one
+                    if defer_all:
+                        dsk = (one, zero, zero, zero)
                 elif mtype in (M.CERAMIC, M.GLOW):
                     shin = tmats.param[mrow]
                     amount = jnp.where(u0 < M.CERAMIC_SPIKE_PROB, 0.0, 1.0 - shin)
@@ -407,13 +454,18 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                     ccy = spec + d1 * nl * (1.0 - spec)
                     ccz = spec + d2 * nl * (1.0 - spec)
                     w = jnp.ones_like(msk)
-                    if tex_row:
+                    if tex_row or defer_all:
                         dsk = (nl * (1.0 - spec), spec, spec, spec)
                     if mtype == M.GLOW:
-                        gl = tmats.glow[mrow]
-                        ex = jnp.where(msk, gl[0] * one, ex)
-                        ey = jnp.where(msk, gl[1] * one, ey)
-                        ez = jnp.where(msk, gl[2] * one, ez)
+                        if defer_all:
+                            # Bias event: value = glow[mrow] (static column).
+                            sl_se = jnp.where(msk, 1.0, sl_se)
+                            sl_mat_e = jnp.where(msk, mrow, sl_mat_e)
+                        else:
+                            gl = tmats.glow[mrow]
+                            ex = jnp.where(msk, gl[0] * one, ex)
+                            ey = jnp.where(msk, gl[1] * one, ey)
+                            ez = jnp.where(msk, gl[2] * one, ez)
                 elif mtype == M.GLASS:
                     refl = tmats.reflectivity[mrow]
                     frost = tmats.frost[mrow]
@@ -442,6 +494,8 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                     oz = jnp.where(take_r, lrz, qz)
                     w = jnp.ones_like(msk)
                     ccx, ccy, ccz = d0 * one, d1 * one, d2 * one
+                    if defer_all:
+                        dsk = (one, zero, zero, zero)
                 elif mtype == M.LIQUID:
                     refl = tmats.reflectivity[mrow]
                     index = tmats.ior[mrow]
@@ -452,6 +506,8 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                     oz = jnp.where(take_r, rz, qz)
                     w = jnp.ones_like(msk)
                     ccx, ccy, ccz = d0 * one, d1 * one, d2 * one
+                    if defer_all:
+                        dsk = (one, zero, zero, zero)
                 elif mtype == M.FOG:
                     ox, oy, oz = vx, vy, vz
                     w = jnp.ones_like(msk)
@@ -508,8 +564,18 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                 f_dz = jnp.where(mark, fog_cz, f_dz)
                 f_dens = jnp.where(mark, fog_dens_m, f_dens)
                 f_u = jnp.where(mark, u3, f_u)
+                f_row = jnp.where(mark, hmat, f_row)
 
-            if deferred_tex:
+            if defer_all:
+                # ``k`` is channel-independent in defer_all (only shape
+                # numbers like the ceramic spike land there); bias events
+                # carry (se, mat_e) instead of ke constants.
+                sl_mat = jnp.where(active, hmat, sl_mat)
+                sl_u = jnp.where(active, huu, sl_u)
+                sl_v = jnp.where(active, hvv, sl_v)
+                slots.append(dict(s=sl_s, k=sl_k0, se=sl_se, mat=sl_mat,
+                                  mat_e=sl_mat_e, u=sl_u, v=sl_v))
+            elif deferred_tex:
                 # Untextured emission (lights/glow) accumulated in ex; the
                 # active mask is disjoint from the absorbed/miss ke events.
                 sl_ke0 = jnp.where(active, ex, sl_ke0)
@@ -540,7 +606,14 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
             alive = active & will
 
         if cfg.fast_render:
-            if deferred_tex:
+            if defer_all:
+                # White terminal bias (engine.cpp:67-70): se with mat_e=-1
+                # gathers the implicit unit value in the fold.
+                wht = jnp.where(alive, 1.0, 0.0)
+                neg = jnp.full(sx.shape, -1, jnp.int32)
+                slots.append(dict(s=zero, k=one, se=wht, mat=neg, mat_e=neg,
+                                  u=zero, v=zero))
+            elif deferred_tex:
                 # White terminal bias (engine.cpp:67-70) as an extra slot.
                 wht = jnp.where(alive, 1.0, 0.0)
                 slots.append(dict(s=zero, k0=one, k1=one, k2=one, se=zero,
@@ -696,6 +769,67 @@ def fold_deferred_radiance(table, tex, cfg, s, k0, k1, k2, se, ke0, ke1, ke2,
         Tx = Tx * (t0 * s[d] + k0[d])
         Ty = Ty * (t1 * s[d] + k1[d])
         Tz = Tz * (t2 * s[d] + k2[d])
+
+    n2 = Lx * Lx + Ly * Ly + Lz * Lz
+    norm = jnp.sqrt(jnp.maximum(n2, 1e-20))
+    clampm = p_light & (norm > cfg.light_clamp)
+    sc = jnp.where(clampm, cfg.light_clamp / norm, 1.0)
+    return Lx * sc, Ly * sc, Lz * sc
+
+
+def fold_deferred_params(mats: HostMaterials, cfg, diffuse, emissive,
+                         glow, tex, s, k, se, mat_c, mat_e, u, v, p_light):
+    """XLA epilogue for ``defer_all`` kernels (affine-deferred parameters).
+
+    All slot fields are ``[S, N]`` planes.  Per depth, resolves the coef
+    value ``tc = texture(mat_c) | diffuse[mat_c]`` and the bias value
+    ``te = texture(mat_e) | column(mat_e)`` (column = emissive for lights /
+    sky, glow for Glow, diffuse for Fog — static per row), then folds
+    ``L += T·(te·se); T *= (tc·s + k)`` and applies the depth-0 light tone
+    clamp (engine.cpp:148-151).  Plain XLA, differentiable w.r.t.
+    ``diffuse/emissive/glow`` columns and the texel buffer — the whole
+    radiometric gradient of the megakernel path, with the kernel itself
+    parameter-independent.
+    """
+    from fspt_tpu import materials as M
+
+    mt = mats.mtype
+    # Static per-row bias column: 0=emissive (Light/sky), 1=glow, 2=diffuse.
+    bc = np.where(mt == M.GLOW, 1, np.where(mt == M.FOG, 2, 0))
+    e_tab = jnp.where(jnp.asarray(bc == 1)[:, None], glow,
+                      jnp.where(jnp.asarray(bc == 2)[:, None], diffuse,
+                                emissive))
+    tid_tab = jnp.asarray(mats.tex_id, jnp.int32)
+    tsc_tab = jnp.asarray(mats.tex_scale, jnp.float32)
+
+    n = s.shape[1]
+    one = jnp.ones((n,), jnp.float32)
+    Tx = Ty = Tz = one
+    Lx = Ly = Lz = jnp.zeros((n,), jnp.float32)
+    for d in range(s.shape[0]):
+        mc = mat_c[d]
+        safe_c = jnp.maximum(mc, 0)
+        dc0, dc1, dc2 = (diffuse[safe_c, 0], diffuse[safe_c, 1],
+                         diffuse[safe_c, 2])
+        tidc = jnp.where(mc >= 0, tid_tab[safe_c], -1)
+        tc0, tc1, tc2 = M.sample_texture_p(tex, tidc, tsc_tab[safe_c],
+                                           u[d], v[d], dc0, dc1, dc2)
+        me = mat_e[d]
+        safe_e = jnp.maximum(me, 0)
+        ee0, ee1, ee2 = e_tab[safe_e, 0], e_tab[safe_e, 1], e_tab[safe_e, 2]
+        tide = jnp.where(me >= 0, tid_tab[safe_e], -1)
+        te0, te1, te2 = M.sample_texture_p(tex, tide, tsc_tab[safe_e],
+                                           u[d], v[d], ee0, ee1, ee2)
+        has_e = me >= 0
+        te0 = jnp.where(has_e, te0, 1.0)  # mat_e=-1: unit value
+        te1 = jnp.where(has_e, te1, 1.0)  # (fast-render white slot)
+        te2 = jnp.where(has_e, te2, 1.0)
+        Lx = Lx + Tx * (te0 * se[d])
+        Ly = Ly + Ty * (te1 * se[d])
+        Lz = Lz + Tz * (te2 * se[d])
+        Tx = Tx * (tc0 * s[d] + k[d])
+        Ty = Ty * (tc1 * s[d] + k[d])
+        Tz = Tz * (tc2 * s[d] + k[d])
 
     n2 = Lx * Lx + Ly * Ly + Lz * Lz
     norm = jnp.sqrt(jnp.maximum(n2, 1e-20))

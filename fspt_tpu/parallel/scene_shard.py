@@ -43,9 +43,11 @@ def shard_scene_triangles(scene: ScenePack, n_shards: int):
     Triangles are ordered by centroid Morton-major axis sort (spatially
     contiguous shards → tight per-shard bounds), split evenly, and each
     shard gets its own flattened BVH and TriShade slice, padded to common
-    shapes and stacked on a leading shard axis.  Returns a pytree of
-    ``[n_shards, ...]`` arrays ``(stacked_bvh, stacked_shade)`` ready to
-    shard over the mesh with ``P(RAY_AXIS)``.
+    shapes and stacked on a leading shard axis.  Returns
+    ``(stacked_bvh, stacked_shade, stacked_gids, order, bounds)`` — the
+    stacked pytrees ready to shard over the mesh with ``P(RAY_AXIS)``,
+    plus the centroid sort order / split bounds so companion tables
+    (:func:`shard_treelet_tables`) can slice identically.
     """
     assert scene.bvh is not None, "scene sharding needs a BVH scene"
     f = np.asarray
@@ -119,7 +121,7 @@ def shard_scene_triangles(scene: ScenePack, n_shards: int):
     stacked_gids = jnp.stack([
         jnp.pad(g, (0, max_tris - g.shape[0]), constant_values=-1)
         for g in shard_gids])
-    return stacked_bvh, stacked_shade, stacked_gids
+    return stacked_bvh, stacked_shade, stacked_gids, order, bounds
 
 
 def _merge_hits(hit: Hit, axis_name) -> Hit:
@@ -150,8 +152,53 @@ def _merge_hits(hit: Hit, axis_name) -> Hit:
     )
 
 
+def shard_treelet_tables(scene: ScenePack, n_shards: int,
+                         order=None, bounds=None):
+    """Per-shard culled-traverser tables, padded to common shapes and
+    stacked on a leading shard axis (the fast scene-sharded path).
+
+    Uses the same centroid-sorted contiguous split as
+    :func:`shard_scene_triangles` so the two stay consistent; returns
+    ``(stacked_tables, stacked_box_lo, stacked_box_hi)`` where the boxes
+    are each shard's triangle AABB (t-clip + Morton domain).
+    """
+    from fspt_tpu.ops.pallas_bvh import build_treelet_chunks, treelet_tables
+
+    f = np.asarray
+    order0 = np.argsort(f(scene.bvh.tri_id))
+    v0 = f(scene.bvh.tri_v0)[order0]
+    v1 = v0 + f(scene.bvh.tri_e1)[order0]
+    v2 = v0 + f(scene.bvh.tri_e2)[order0]
+    n_tris = len(v0)
+    if order is None:
+        cent = (v0 + v1 + v2) / 3.0
+        axis = int(np.argmax(cent.max(axis=0) - cent.min(axis=0)))
+        order = np.argsort(cent[:, axis], kind="stable")
+        bounds = np.linspace(0, n_tris, n_shards + 1).astype(np.int64)
+
+    chunks = []
+    for s in range(n_shards):
+        idx = order[bounds[s]:bounds[s + 1]]
+        chunks.append((idx, build_treelet_chunks(v0[idx], v1[idx], v2[idx])))
+    l_max = max(int(np.count_nonzero(f(c.count) > 0)) for _, c in chunks)
+    t_max = max(int(f(c.tri_v0).shape[0]) for _, c in chunks)
+
+    tabs, blos, bhis = [], [], []
+    for idx, chunk in chunks:
+        tabs.append(treelet_tables(chunk, n_leaves_pad=l_max,
+                                   n_tris_pad=t_max))
+        blos.append(np.minimum(v0[idx], np.minimum(v1[idx], v2[idx]))
+                    .min(axis=0).astype(np.float32))
+        bhis.append(np.maximum(v0[idx], np.maximum(v1[idx], v2[idx]))
+                    .max(axis=0).astype(np.float32))
+    stacked = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *tabs)
+    return stacked, jnp.asarray(np.stack(blos)), jnp.asarray(np.stack(bhis))
+
+
 def make_scene_sharded_render_step(mesh, cfg: RenderConfig,
-                                   scene: ScenePack):
+                                   scene: ScenePack, fast: bool = False,
+                                   block_rays: int = 64,
+                                   sub_bundles: int = 64, group: int = 8):
     """Render step with the TRIANGLES sharded over the mesh, rays
     replicated.
 
@@ -168,15 +215,93 @@ def make_scene_sharded_render_step(mesh, cfg: RenderConfig,
     geometry/materials/textures.  Passing a ``scene_in`` whose triangles
     differ from the build-time scene renders the baked triangles against
     the new materials — rebuild the step for a new triangle set.
+
+    ``fast=True`` (VERDICT r3 #7) replaces each shard's XLA miss-link walk
+    with the culled-treelet Pallas MXU sweep: every device Morton-sorts the
+    replicated wavefront against ITS shard's box, culls and sweeps its own
+    treelet tables (runtime-table form of ops/pallas_bvh.
+    make_culled_traverser), and the same pmin/psum merge combines the
+    per-shard closest hits — capacity AND speed are no longer exclusive.
     """
     n = mesh.devices.size
-    stacked_bvh, stacked_shade, stacked_gids = shard_scene_triangles(scene, n)
+    (stacked_bvh, stacked_shade, stacked_gids, order,
+     bounds) = shard_scene_triangles(scene, n)
+    if fast:
+        stacked_tabs, box_lo, box_hi = shard_treelet_tables(
+            scene, n, order=order, bounds=bounds)
+    else:
+        stacked_tabs = box_lo = box_hi = None
 
-    def local_step(shard_bvh, shard_shade, shard_gids, scene_in, camera, fb,
+    def fast_intersector(tabs, blo, bhi, shade, global_of, scene_in):
+        from fspt_tpu.ops.pallas_bvh import (make_culled_traverser,
+                                             morton_keys)
+
+        trav = make_culled_traverser(None, block_rays=block_rays,
+                                     sub_bundles=sub_bundles, group=group,
+                                     tables=tabs)
+
+        def box_exit(start, seg):
+            inv = 1.0 / jnp.where(jnp.abs(seg) < 1e-30,
+                                  jnp.where(seg >= 0, 1e-30, -1e-30), seg)
+            ta = (blo - start) * inv
+            tb = (bhi - start) * inv
+            tnear = jnp.max(jnp.minimum(ta, tb), axis=-1)
+            tfar = jnp.min(jnp.maximum(ta, tb), axis=-1)
+            hitbox = (tnear <= tfar) & (tfar > 0.0)
+            return jnp.where(hitbox, tfar * 1.0001 + 1e-5, 0.0)
+
+        def intersect(start, seg, alive=None):
+            base = intersect_scene(scene_in.geometry, start, seg)
+            t_init = jnp.minimum(base.t, box_exit(start, seg))
+            if alive is not None:
+                t_init = jnp.where(alive, t_init, 0.0)
+            nlanes = start.shape[0]
+            key = morton_keys(start, seg, alive, blo, bhi)
+            ordr = jnp.argsort(key)
+            t_kern, packed = trav.raw(start[ordr], seg[ordr],
+                                      t_init=t_init[ordr])
+            inv = jnp.zeros((nlanes,), jnp.int32).at[ordr].set(
+                jnp.arange(nlanes, dtype=jnp.int32))
+            t_kern, packed = t_kern[inv], packed[inv]
+            t_tri, tid_l, u, v = trav.post(start, seg, t_kern, packed)
+            gid = jnp.where(tid_l >= 0, global_of[jnp.maximum(tid_l, 0)], -1)
+            tri_hit = gid >= 0
+            tid = jnp.maximum(tid_l, 0)
+            n0, n1, n2 = shade.n0[tid], shade.n1[tid], shade.n2[tid]
+            normal = n0 + (n1 - n0) * u[:, None] + (n2 - n0) * v[:, None]
+            t0, t1, t2 = shade.t0[tid], shade.t1[tid], shade.t2[tid]
+            tex = t0 + (t1 - t0) * u[:, None] + (t2 - t0) * v[:, None]
+            t = jnp.where(tri_hit, t_tri, base.t)
+            local = Hit(
+                t=t,
+                point=start + seg * t[:, None],
+                normal=jnp.where(tri_hit[:, None], normal, base.normal),
+                texcoords=jnp.where(tri_hit[:, None], tex, base.texcoords),
+                mat=jnp.where(tri_hit, shade.mat[tid], base.mat),
+                prim_kind=jnp.where(tri_hit, KIND_TRIANGLE, base.prim_kind),
+                hit=base.hit | tri_hit,
+                prim_id=jnp.where(tri_hit, gid, -1),
+            )
+            return _merge_hits(local, RAY_AXIS)
+
+        intersect.accepts_alive = True
+        return intersect
+
+    def local_step(shard_bvh, shard_shade, shard_gids, shard_tabs,
+                   shard_blo, shard_bhi, scene_in, camera, fb,
                    seed, frame_idx):
         bvh = jax.tree.map(lambda x: x[0], shard_bvh)
         shade = jax.tree.map(lambda x: x[0], shard_shade)
         global_of = shard_gids[0]
+        if fast:
+            tabs = jax.tree.map(lambda x: x[0], shard_tabs)
+            intersector = fast_intersector(tabs, shard_blo[0], shard_bhi[0],
+                                           shade, global_of, scene_in)
+            intersector.accepts_alive = True
+            fb, segs = integrator.render_step(
+                scene_in, camera, cfg, fb, seed, frame_idx,
+                intersector=intersector)
+            return fb, segs
 
         def intersector(start, seg, alive=None):
             base = intersect_scene(scene_in.geometry, start, seg)
@@ -212,17 +337,22 @@ def make_scene_sharded_render_step(mesh, cfg: RenderConfig,
         # All devices hold identical results; segments counted once.
         return fb, segs
 
+    if stacked_tabs is None:
+        # Placeholder leaves so the shard_map signature is uniform.
+        stacked_tabs = {"_": jnp.zeros((n, 1), jnp.float32)}
+        box_lo = box_hi = jnp.zeros((n, 3), jnp.float32)
+
     fn = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(), P(), P(),
-                  P(), P()),
+        in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
+                  P(RAY_AXIS), P(RAY_AXIS), P(), P(), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
 
     def step(scene_in, camera, fb, seed, frame_idx):
-        return fn(stacked_bvh, stacked_shade, stacked_gids, scene_in,
-                  camera, fb, seed, frame_idx)
+        return fn(stacked_bvh, stacked_shade, stacked_gids, stacked_tabs,
+                  box_lo, box_hi, scene_in, camera, fb, seed, frame_idx)
 
     return jax.jit(step)

@@ -63,7 +63,8 @@ DEFAULT_CONSTRAINTS = {
 def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissive"),
                        lr: float = 0.5, optimizer=None, constraints=None,
                        apply_fn=_apply_params, pool: int = 8,
-                       intersector_bind=None, render_fn=None):
+                       intersector_bind=None, render_fn=None,
+                       pair_render_fn=None):
     """Build a jitted sharded optimizer step on the named material-table columns.
 
     Returns ``step(params, scene, camera, target, seed, frame_idx) ->
@@ -103,7 +104,12 @@ def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissiv
         #    −2Σ c_p δ_p that shifts the optimum; averaging p×p patches
         #    shrinks every noise projection by p² while global material
         #    parameters lose no constraints.
-        if render_fn is not None:
+        if pair_render_fn is not None:
+            # One call yields both correlated buffers (renderers that share
+            # work between them, e.g. the two-phase BVH replay).
+            img_a, img_b = pair_render_fn(params, scene, camera, seed,
+                                          frame_idx, y0, rows_local)
+        elif render_fn is not None:
             img_a = render_fn(params, scene, camera, seed, frame_idx, y0,
                               rows_local)
             img_b = render_fn(params, scene, camera, seed, frame_idx + 10007,
@@ -148,15 +154,31 @@ def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissiv
         check_vma=False,
     ))
 
+    # Commit replicated inputs to their post-step sharding up front: the
+    # step's outputs carry NamedSharding(mesh, P()), so a first call with
+    # unspecified-sharding inputs would compile a second executable for
+    # every later call (measured: a full duplicate ~50 s compile on TPU).
+    _rep = jax.sharding.NamedSharding(mesh, P())
+
+    def _commit(tree):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, _rep)
+            if isinstance(x, jax.Array) else x, tree)
+
     if use_optax:
         def step(params, opt_state, scene, camera, target, seed, frame_idx):
-            return fn(params, opt_state, scene, camera, target, seed, frame_idx)
+            return fn(_commit(params), _commit(opt_state), scene, camera,
+                      target, seed, frame_idx)
 
-        step.init = optimizer.init
+        # jit commits the optimizer-state dtypes (plain optax init returns
+        # weak-typed leaves whose post-update strong types forced a full
+        # second compile of the step — the r3 bench's "two warmups").
+        step.init = jax.jit(optimizer.init)
         return step
 
     def step(params, scene, camera, target, seed, frame_idx):
-        params, _, loss = fn(params, 0, scene, camera, target, seed, frame_idx)
+        params, _, loss = fn(_commit(params), 0, scene, camera, target,
+                             seed, frame_idx)
         return params, loss
 
     return step
@@ -177,10 +199,21 @@ def make_fused_recovery_step(mesh, scene, camera, cfg: RenderConfig,
     baked into the kernels (recompile on change).  Raises ValueError when
     the scene can't be specialized (use make_recovery_step then).
     """
-    from fspt_tpu.ops.pallas_grad import make_grad_image_fn
+    from fspt_tpu.ops.pallas_grad import (make_affine_grad_image_fn,
+                                          make_grad_image_fn)
 
-    img_fn = make_grad_image_fn(scene, camera, cfg, fields=fields,
-                                **tracer_kwargs)
+    # Radiometric fields (diffuse/emissive/glow/texels) ride the
+    # affine-deferred path: parameter-independent kernel + XLA-fold
+    # gradient, textured scenes included.  Scalar fields that bend rays
+    # need the in-kernel-adjoint tracer.
+    radiometric = {"diffuse", "emissive", "glow", "texels"}
+    img_fn = None
+    if set(fields) <= radiometric:
+        img_fn = make_affine_grad_image_fn(scene, camera, cfg,
+                                           **tracer_kwargs)
+    if img_fn is None:
+        img_fn = make_grad_image_fn(scene, camera, cfg, fields=fields,
+                                    **tracer_kwargs)
     if img_fn is None:
         raise ValueError("scene can't use the fused kernels; "
                          "use make_recovery_step")
@@ -212,12 +245,27 @@ def make_vertex_recovery_step(mesh, cfg: RenderConfig, lr: float = 0.05,
 def make_bvh_vertex_recovery_step(mesh, cfg: RenderConfig, scene,
                                   lr: float = 0.05, optimizer=None,
                                   pool: int = 1, shade_normals="flat",
+                                  queue: int | None = None,
+                                  use_queue: bool = False,
                                   **fast_kwargs):
-    """Vertex recovery on a BVH-scale scene (100k+ triangles) by hit-id
-    replay (ops/diff_intersect.py): the culled-treelet Pallas sweep finds
-    winners under stop_gradient, an XLA replay differentiates t/normal/uv
-    w.r.t. the traced vertices, and the brute-force O(N·T) differentiable
-    path is never built.
+    """Vertex recovery on a BVH-scale scene (100k+ triangles) by TWO-PHASE
+    hit-id replay:
+
+    1. **Record** (no gradients): both correlated sample buffers stream
+       through the regenerating ray queue as one ``2·spp`` render with the
+       culled-treelet Pallas sweep intersector, recording each segment's
+       winner id (render/queue.py ``record_hits``).
+    2. **Replay** (differentiable): the unrolled wavefront re-renders the
+       SAME paths through ops/diff_intersect.make_recorded_replay — one
+       Möller–Trumbore of the recorded winner per segment, reading the
+       traced vertex arrays.  The sort/cull/sweep machinery never enters
+       the AD graph, so the step compiles ~6× faster than differentiating
+       the one-phase pipeline and the forward rides the queue's
+       full-occupancy schedule.
+
+    Phase 2 is deterministically equivalent to phase 1 (same RNG streams,
+    same decisions — the queue's schedule-invariance argument), so the
+    gradient is exactly the one-phase replay gradient.
 
     ``params`` is ``{"v0": [T,3], "v1": [T,3], "v2": [T,3]}`` in original
     triangle order (start from ops/diff_intersect.tris_from_scene).  The
@@ -229,23 +277,74 @@ def make_bvh_vertex_recovery_step(mesh, cfg: RenderConfig, scene,
     vertices so lighting follows the surface; "fixed" keeps the baked
     shading normals.
     """
+    import dataclasses
+
     from fspt_tpu.ops.diff_intersect import (flat_normals,
                                              make_diff_mesh_intersector,
+                                             make_recorded_replay,
                                              tris_from_scene)
+    from fspt_tpu.render import integrator
+    from fspt_tpu.render.queue import DEFAULT_QUEUE, render_queued
 
     diff = make_diff_mesh_intersector(scene, **fast_kwargs)
     if diff is None:
         raise ValueError("scene has no BVH; use make_vertex_recovery_step")
     baked = tris_from_scene(scene)
+    replay_bind = make_recorded_replay(scene)
+    # Both sample buffers in one pass: samples [0, spp) are buffer A,
+    # [spp, 2·spp) buffer B — distinct RNG counters, so independent.
+    cfg2 = dataclasses.replace(cfg, spp=2 * cfg.spp)
+    q = queue or DEFAULT_QUEUE
 
-    def bind(params):
+    def bind_tris(params):
         tr = dict(baked)
         tr.update({k: params[k] for k in ("v0", "v1", "v2")})
         if shade_normals == "flat":
             n = flat_normals(tr["v0"], tr["v1"], tr["v2"])
             tr["n0"] = tr["n1"] = tr["n2"] = n
-        return diff.bind(tr)
+        return tr
+
+    def pair_render(params, scene_in, camera, seed, frame_idx, y0, rows):
+        tr = bind_tris(params)
+        sg = jax.lax.stop_gradient
+        tr_sg = jax.tree.map(sg, tr)
+
+        # Phase 1: fast render under stop_gradient, winner ids recorded.
+        # The unrolled wavefront beats the queue at recovery depths (2-4):
+        # primary blocks stay coherent instead of mixing with regenerated
+        # bounces (584 vs 847 ms at the r4 bench config); the queue path
+        # (render_queued record_hits=True) remains available via
+        # ``use_queue`` for deep-bounce configs.
+        if use_queue:
+            _, (ids, hitm) = render_queued(
+                scene_in, camera, cfg2, seed, frame_idx * cfg2.spp, y0=y0,
+                rows=rows, intersector=diff.bind(tr_sg), queue=q, aovs=False,
+                record_hits=True)
+        else:
+            rec = []
+            inner = diff.bind(tr_sg)
+
+            def recorder(start, seg, alive=None):
+                h = inner(start, seg, alive)
+                rec.append((h.prim_id, h.hit))
+                return h
+
+            recorder.accepts_alive = True
+            integrator.render_wavefront(
+                scene_in, camera, cfg2, sg(seed), frame_idx * cfg2.spp,
+                y0=y0, rows=rows, intersector=recorder)
+            ids = jnp.stack([sg(i) for i, _ in rec], axis=1)
+            hitm = jnp.stack([sg(h) for _, h in rec], axis=1)
+
+        # Phase 2: differentiable replay of the recorded paths — one
+        # Möller–Trumbore of the recorded winner per segment; the
+        # sort/cull/sweep machinery never enters the AD graph.
+        out = integrator.render_wavefront(
+            scene_in, camera, cfg2, seed, frame_idx * cfg2.spp, y0=y0,
+            rows=rows, intersector=replay_bind(tr, ids, hitm))
+        rad = out.radiance.reshape(rows, cfg.width, 2, cfg.spp, 3)
+        return rad[:, :, 0].mean(axis=2), rad[:, :, 1].mean(axis=2)
 
     return make_recovery_step(mesh, cfg, lr=lr, optimizer=optimizer,
                               constraints={}, apply_fn=lambda s, p: s,
-                              pool=pool, intersector_bind=bind)
+                              pool=pool, pair_render_fn=pair_render)

@@ -26,9 +26,13 @@ same traversal re-scheduled; all semantic quirks (deferred fog, depth-0
 AOVs/light-clamp, fast-render white) ride per-lane ``depth`` masks instead
 of loop-iteration specialization.
 
-Not supported here: ``cfg.edge_eps > 0`` (silhouette-gradient edge
-reparameterization) — that path needs differentiable replay anyway
-(ops/diff_intersect.py), so callers keep the unrolled loop for it.
+``cfg.edge_eps > 0`` (silhouette-gradient edge reparameterization) rides
+per-lane masks like every other semantic quirk; with ``record_hits`` the
+queue also scatters each traced segment's winner id into a ``[N, D]``
+record, which is what the two-phase differentiable mesh path replays
+(parallel/train.make_bvh_vertex_recovery_step): the fast sweep runs ONCE
+here under stop_gradient, and AD only ever sees the cheap per-winner
+Möller–Trumbore replay.
 """
 
 from __future__ import annotations
@@ -49,8 +53,8 @@ DEFAULT_QUEUE = 1 << 18
 
 def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
                   seed, sample0, y0=0, rows=None, *, intersector,
-                  queue: int = DEFAULT_QUEUE, aovs: bool = True
-                  ) -> TraceOutput:
+                  queue: int = DEFAULT_QUEUE, aovs: bool = True,
+                  record_hits: bool = False):
     """Render a band through a regenerating ray queue.
 
     Drop-in for ``render_wavefront`` — deterministically equivalent
@@ -60,9 +64,13 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
     number of in-flight lanes per iteration; the band is streamed through
     it.  ``aovs=False`` skips the AOV scatter buffers (zeros returned) for
     radiance-only consumers such as loss evaluation.
+
+    With ``record_hits=True`` the intersector must produce ``Hit.prim_id``
+    and the return value becomes ``(TraceOutput, (ids[N,D], hit[N,D]))``
+    where row ``(lane, d)`` holds the winner id / hit flag of that lane's
+    depth-``d`` segment (-1 / False for untraced depths) and
+    ``D = cfg.effective_depth``.
     """
-    if cfg.edge_eps > 0.0:
-        raise NotImplementedError("render_queued does not support edge_eps")
     if rows is None:
         rows = cfg.height
     n = rows * cfg.width * cfg.spp
@@ -105,7 +113,7 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         st["cursor"] = st["cursor"] + jnp.sum(has.astype(jnp.int32))
         return st
 
-    def scatter_mask(buf, mask, idx, val):
+    def scatter_mask(buf, mask, idx, val, pad=None):
         """Predicated scatter-set: rows where ``mask`` write, others drop.
 
         Masked-off rows all target the pad slot ``n``, so indices are NOT
@@ -122,7 +130,8 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         test_queue.py's equality tests catch it; the defined-semantics
         fallback is scattering where(mask, idx, n + lane_iota) into an
         n+q-row buffer."""
-        tgt = jnp.where(mask & (idx >= 0), idx, n)  # row n is the pad slot
+        p = n if pad is None else pad  # last row is the pad slot
+        tgt = jnp.where(mask & (idx >= 0), idx, p)
         return buf.at[tgt].set(val, mode="drop", unique_indices=True)
 
     def body(st):
@@ -133,6 +142,15 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         segments = st["segments"] + jnp.sum(alive.astype(jnp.int32))
 
         hit = intersect(o, d, alive)
+
+        if record_hits:
+            # Winner-id record for the two-phase differentiable replay:
+            # row (lane, depth) of the [N·D] buffers.
+            ridx = st["lane_id"] * eff_depth + depth
+            st["rec_ids"] = scatter_mask(st["rec_ids"], alive, ridx,
+                                         hit.prim_id, pad=n * eff_depth)
+            st["rec_hit"] = scatter_mask(st["rec_hit"], alive, ridx,
+                                         hit.hit, pad=n * eff_depth)
 
         pix = (st["lane_id"] // (cfg.width * cfg.spp) + y0) * cfg.width + (
             st["lane_id"] // cfg.spp) % cfg.width
@@ -165,6 +183,31 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
                                        cfg.bounce_slots)
         sh = mat_mod.shade(table, tex, hit.mat, view, normal, hit.texcoords,
                            uniforms)
+
+        # Edge reparameterization (silhouette gradients) — identical
+        # lane-wise logic to the unrolled loop (integrator.py), with the
+        # per-lane depth vector in place of the loop index.
+        if cfg.edge_eps > 0.0 and hit.edge_dist is not None:
+            alpha = jnp.clip(hit.edge_dist / cfg.edge_eps, 0.0, 1.0)
+            ue = rng.edge_uniform(seed, pix, smp, depth)
+            pass_thru = active & (ue >= alpha)
+            keep = active & ~pass_thru
+            sg = jax.lax.stop_gradient
+            ratio = jnp.where(
+                pass_thru,
+                (1.0 - alpha) / jnp.maximum(sg(1.0 - alpha), 1e-6),
+                jnp.where(keep, alpha / jnp.maximum(sg(alpha), 1e-6), 1.0))
+            throughput = throughput * ratio[:, None]
+            view_dir_n = vm.normalize(d)
+            sh = sh._replace(
+                direction=jnp.where(pass_thru[:, None], view_dir_n,
+                                    sh.direction),
+                bias=jnp.where(pass_thru[:, None], 0.0, sh.bias),
+                coef=jnp.where(pass_thru[:, None], 1.0, sh.coef),
+                will_indirect=jnp.where(pass_thru, True, sh.will_indirect),
+                is_light=jnp.where(pass_thru, False, sh.is_light),
+                is_fog=jnp.where(pass_thru, False, sh.is_fog),
+            )
 
         at0 = depth == 0
         if aovs:
@@ -214,7 +257,7 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         rad_buf = scatter_mask(st["radiance_buf"], died, st["lane_id"],
                                radiance * scale[:, None])
 
-        return {
+        out = {
             "o": o, "d": d, "radiance": radiance, "throughput": throughput,
             "lane_id": st["lane_id"], "depth": depth, "alive": alive,
             "plh": plh, "fog_active": fog_active, "fog_from": fog_from,
@@ -223,6 +266,10 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
             "radiance_buf": rad_buf, "aov_normal": aovn, "aov_depth": aovd,
             "aov_mat": aovm,
         }
+        if record_hits:
+            out["rec_ids"] = st["rec_ids"]
+            out["rec_hit"] = st["rec_hit"]
+        return out
 
     def cond(st):
         return (st["cursor"] < n) | jnp.any(st["alive"])
@@ -244,11 +291,18 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         "aov_depth": jnp.zeros((n + 1,), f32),
         "aov_mat": jnp.zeros((n + 1,), jnp.int32),
     }
+    if record_hits:
+        state["rec_ids"] = jnp.full((n * eff_depth + 1,), -1, jnp.int32)
+        state["rec_hit"] = jnp.zeros((n * eff_depth + 1,), bool)
     st = jax.lax.while_loop(cond, body, state)
-    return TraceOutput(
+    out = TraceOutput(
         radiance=st["radiance_buf"][:n],
         aov_normal=st["aov_normal"][:n],
         aov_depth=st["aov_depth"][:n],
         aov_mat=st["aov_mat"][:n],
         segments=st["segments"],
     )
+    if record_hits:
+        return out, (st["rec_ids"][:n * eff_depth].reshape(n, eff_depth),
+                     st["rec_hit"][:n * eff_depth].reshape(n, eff_depth))
+    return out

@@ -123,3 +123,96 @@ def test_grad_tracer_respects_specialization_envelope():
     scene = b.compile()
     cfg = RenderConfig(width=8, height=8)
     assert make_grad_path_tracer(scene, b.cameras[0], cfg) is None
+
+
+def test_affine_grad_matches_planar_forward_and_grads():
+    """Affine-deferred parameter transfer (make_affine_grad_image_fn):
+    forward radiance and diffuse/emissive gradients match the planar
+    replay (itself FD-verified) — on a scene exercising diffuse, light,
+    mirror and metal rows."""
+    from fspt_tpu.ops.pallas_grad import make_affine_grad_image_fn
+
+    scene, cam, cfg = _setup(width=16, height=16, spp=2, max_depth=4)
+    gi = make_affine_grad_image_fn(scene, cam, cfg)
+    assert gi is not None
+    di = make_image_fn(scene, cfg, z_far=float(np.asarray(cam.z_far)))
+    params = {"diffuse": scene.materials.diffuse,
+              "emissive": scene.materials.emissive}
+
+    def loss_g(p):
+        img, segs = gi(p, 5, 0, 0, cfg.height)
+        return jnp.mean(img ** 2), (img, segs)
+
+    def loss_d(p):
+        table = scene.materials._replace(**p)
+        img, segs = di(table, cam, 5, 0, 0, cfg.height)
+        return jnp.mean(img ** 2), (img, segs)
+
+    (vg, (ig, sg)), gg = jax.value_and_grad(loss_g, has_aux=True)(params)
+    (vd, (idm, sd)), gd = jax.value_and_grad(loss_d, has_aux=True)(params)
+    assert int(sg) == int(sd)
+    np.testing.assert_allclose(np.asarray(ig), np.asarray(idm),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(vg), float(vd), rtol=1e-5)
+    for k in gg:
+        np.testing.assert_allclose(np.asarray(gg[k]), np.asarray(gd[k]),
+                                   rtol=1e-3, atol=1e-7, err_msg=k)
+
+
+def test_affine_grad_textured_scene_fd():
+    """Textured scenes get fused-speed gradients (VERDICT r3 #4a): the
+    texel-buffer gradient of a textured-diffuse scene matches finite
+    differences, and the forward matches the deferred megakernel."""
+    from fspt_tpu import Camera, SceneBuilder
+    from fspt_tpu import materials as M
+    from fspt_tpu.materials import MaterialSpec
+    from fspt_tpu.ops.pallas_grad import make_affine_grad_image_fn
+    from fspt_tpu.ops.pallas_path import make_camera_path_tracer
+
+    b = SceneBuilder()
+    tex = np.stack(np.meshgrid(np.linspace(0.2, 0.9, 8),
+                               np.linspace(0.3, 0.8, 8))[:1] * 3,
+                   axis=-1).reshape(8, 8, 3).astype(np.float32)
+    tid = b.add_texture(tex)
+    mat = b.add_material(MaterialSpec(M.DIFFUSE, diffuse=(1, 1, 1),
+                                      tex_id=tid, tex_scale=1.0))
+    light = b.add_material(MaterialSpec(M.LIGHT, emissive=(9.0, 9.0, 9.0)))
+    sky = b.add_material(MaterialSpec(M.LIGHT, emissive=(0.1, 0.2, 0.3)))
+    b.set_sky(sky)
+    b.add_quad_uv((-40, -10, -40), (80, 0, 0), (0, 0, 80), mat)
+    b.add_quad_uv((-15, 30, -15), (30, 0, 0), (0, 0, 30), light)
+    b.add_camera(Camera.create(origin=(0, 20, -70), target=(0, -5, 0),
+                               aperture_size=0.0))
+    scene = b.compile()
+    cam = b.cameras[0]
+    cfg = RenderConfig(width=12, height=12, spp=2, max_depth=3)
+
+    gi = make_affine_grad_image_fn(scene, cam, cfg)
+    assert gi is not None
+
+    # Forward parity with the texture-deferred megakernel.
+    tracer = make_camera_path_tracer(scene, cam, cfg)
+    out = tracer(5, 0)
+    ref_img = np.asarray(out.radiance).reshape(12, 12, 2, 3).mean(axis=2)
+    img, segs = gi({}, 5, 0, 0, cfg.height)
+    np.testing.assert_allclose(np.asarray(img), ref_img, rtol=1e-4,
+                               atol=1e-5)
+    assert int(segs) == int(out.segments)
+
+    # Texel gradient vs FD.
+    texels0 = scene.textures.texels
+
+    def loss(texels):
+        img, _ = gi({"texels": texels}, 5, 0, 0, cfg.height)
+        return jnp.mean(img ** 2)
+
+    g = jax.grad(loss)(texels0)
+    gn = np.asarray(g)
+    # Probe the largest-gradient texel with central differences.
+    ti, tc = np.unravel_index(np.abs(gn).argmax(), gn.shape)
+    eps = 1e-2
+    dv = np.zeros_like(np.asarray(texels0))
+    dv[ti, tc] = eps
+    fd = (float(loss(texels0 + dv)) - float(loss(texels0 - dv))) / (2 * eps)
+    np.testing.assert_allclose(float(gn[ti, tc]), fd, rtol=2e-2,
+                               atol=1e-6)

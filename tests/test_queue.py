@@ -115,3 +115,54 @@ def test_rays_for_lanes_matches_generate_rays():
     out = rays_for_lanes(cam, 8, 6, 2, 9, 4, lanes, y0=2)
     for a, b in zip(ref, out):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_queue_edge_eps_matches_wavefront():
+    """Edge reparameterization (cfg.edge_eps > 0) in the queue: identical
+    pass-through decisions and throughput ratios as the unrolled loop."""
+    from fspt_tpu.ops.diff_intersect import make_diff_mesh_intersector
+
+    builder = build_bvh_scene(grid=10)
+    scene = builder.compile()
+    cfg = RenderConfig(width=16, height=12, spp=2, max_depth=3,
+                       edge_eps=0.05)
+    diff = make_diff_mesh_intersector(scene)
+    ref = integrator.render_wavefront(scene, builder.cameras[0], cfg, 11, 3,
+                                      intersector=diff)
+    out = render_queued(scene, builder.cameras[0], cfg, 11, 3,
+                        intersector=diff, queue=384)
+    np.testing.assert_allclose(np.asarray(ref.radiance),
+                               np.asarray(out.radiance),
+                               rtol=2e-3, atol=2e-5)
+    assert int(ref.segments) == int(out.segments)
+
+
+def test_recorded_replay_matches_queue():
+    """Two-phase equivalence: winner ids recorded by the queue, replayed
+    through the unrolled loop, reproduce the queued radiance — the
+    correctness pin of the two-phase BVH gradient step."""
+    import jax
+
+    from fspt_tpu.ops.diff_intersect import (make_diff_mesh_intersector,
+                                             make_recorded_replay,
+                                             tris_from_scene)
+
+    builder = build_bvh_scene(grid=10)
+    scene = builder.compile()
+    cam = builder.cameras[0]
+    cfg = RenderConfig(width=16, height=12, spp=2, max_depth=3,
+                       edge_eps=0.05)
+    diff = make_diff_mesh_intersector(scene)
+    out1, (ids, hitm) = jax.jit(lambda: render_queued(
+        scene, cam, cfg, 7, 5, intersector=diff, queue=256,
+        record_hits=True))()
+    assert ids.shape == (16 * 12 * 2, 3) and hitm.shape == ids.shape
+    assert int((ids >= 0).sum()) > 0
+
+    baked = tris_from_scene(scene)
+    replay = make_recorded_replay(scene)(baked, ids, hitm)
+    out2 = integrator.render_wavefront(scene, cam, cfg, 7, 5,
+                                       intersector=replay)
+    np.testing.assert_allclose(np.asarray(out1.radiance),
+                               np.asarray(out2.radiance),
+                               rtol=2e-3, atol=2e-5)

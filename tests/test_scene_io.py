@@ -284,8 +284,9 @@ def test_exr_reader_rle_compression(tmp_path):
     np.testing.assert_allclose(img, vals.astype(np.float32), atol=1e-3)
 
 
-def test_exr_reader_piz_clear_error(tmp_path):
-    """Unsupported codecs fail with an actionable message (VERDICT r2 #10)."""
+def test_exr_reader_unsupported_codec_clear_error(tmp_path):
+    """Still-unsupported codecs fail with an actionable message
+    (VERDICT r2 #10; PIZ itself decodes as of r4)."""
     import pytest
 
     def attr(name, atype, payload):
@@ -296,10 +297,30 @@ def test_exr_reader_piz_clear_error(tmp_path):
         struct.pack("<ii", 1, 1) + b"\x00"
     header = struct.pack("<iI", 20000630, 2)
     header += attr("channels", "chlist", chan)
-    header += attr("compression", "compression", b"\x04")  # PIZ
+    header += attr("compression", "compression", b"\x05")  # PXR24
     header += attr("dataWindow", "box2i", struct.pack("<4i", 0, 0, 1, 1))
     header += b"\x00"
-    p = tmp_path / "t_piz.exr"
+    p = tmp_path / "t_pxr24.exr"
     p.write_bytes(header)
-    with pytest.raises(ValueError, match="PIZ.*zip"):
+    with pytest.raises(ValueError, match="PXR24.*zip"):
         img_mod.load_exr(str(p))
+
+
+def test_exr_reader_piz_compression():
+    """PIZ (wavelet + Huffman) decode, bit-exact against golden decodes
+    produced by an independent implementation (TinyEXR — the same codec
+    the reference uses for its sky domes, tiny_exr_loader.h).  Covers a
+    single odd-sized block (37×23) and a 3-block dome (64×80)."""
+    import os
+
+    import numpy as np
+
+    from fspt_tpu.utils import image as img_mod
+
+    base = os.path.join(os.path.dirname(__file__), "data")
+    for stem in ("piz_pattern", "piz_dome"):
+        gold_name = ("piz_pattern_gold" if stem == "piz_pattern"
+                     else "piz_dome_gold")
+        img = img_mod.load_exr(os.path.join(base, f"{stem}.exr"))
+        gold = np.load(os.path.join(base, f"{gold_name}.npy"))
+        np.testing.assert_array_equal(img, gold, err_msg=stem)
