@@ -257,18 +257,54 @@ def bench_mesh_grad(width=512, height=512, spp=2, max_depth=2, iters=3):
     return summarize(rates)
 
 
+def bench_scene_sharded(width=512, height=512, spp=2, max_depth=3, iters=2):
+    """Scene-sharded fast path (VERDICT r3 #7): triangles sharded over the
+    device mesh, per-shard Pallas treelet sweep, pmin/psum closest-hit
+    merge.  On this 1-chip environment the mesh is a single device, so the
+    row measures the sharded machinery's on-chip overhead vs the
+    replicated fast path (multi-chip equality is pinned on the virtual CPU
+    mesh by tests/test_sharding.py::test_scene_sharded_fast_*)."""
+    from fspt_tpu.config import RenderConfig
+    from fspt_tpu.parallel import make_mesh, make_scene_sharded_render_step
+    from fspt_tpu.render import framebuffer as fb_mod
+
+    builder = build_mesh_scene()
+    scene = builder.compile()
+    camera = builder.cameras[0]
+    cfg = RenderConfig(width=width, height=height, spp=spp,
+                       max_depth=max_depth)
+    mesh = make_mesh(1)
+    step = make_scene_sharded_render_step(mesh, cfg, scene, fast=True)
+    fb = fb_mod.create(cfg.height, cfg.width)
+    t0 = time.time()
+    fb, segs = step(scene, camera, fb, 7, 0)
+    jax.block_until_ready(fb)
+    log(f"scene-sharded compile+first: {time.time()-t0:.1f}s "
+        f"segs={int(segs)}")
+    rates = []
+    for it in range(iters):
+        t0 = time.time()
+        fb, segs = step(scene, camera, fb, 7, it + 1)
+        jax.block_until_ready(fb)
+        dt = time.time() - t0
+        rates.append(int(segs) / dt)
+        log(f"scene-sharded iter {it}: {dt*1e3:.0f} ms, "
+            f"{int(segs)/dt/1e6:.2f} Mrays/s")
+    return summarize(rates)
+
+
 def bench_fwdbwd(width=1920, height=1080, spp=4, max_depth=8, band_rows=270,
                  iters=4):
     """BASELINE "report" row: fwd+bwd rays/s/chip at 4spp 1080p.
 
     value_and_grad of a dual-buffer material-recovery loss (the estimator
     examples/recover_albedo.py trains with) over the flagship scene, rendered
-    in horizontal bands.  Preferred path: affine-deferred parameter transfer
-    (ops/pallas_grad.make_affine_grad_image_fn) — the megakernel emits
-    per-depth affine-transfer planes and the radiometric gradient is plain
-    XLA AD of the tiny fold, so the backward pass costs a fraction of a
-    re-trace.  Fallbacks: the in-kernel-adjoint kernel pair, then the
-    planar XLA replay.  Counts segments of BOTH correlated renders."""
+    in horizontal bands.  Path cascade: the in-kernel-adjoint kernel pair
+    (fastest measured fwd+bwd for untextured scenes: 264 vs the affine
+    fold's 117 Mrays/s — the defer_all slot traffic + XLA fold cost ~10×
+    the megakernel forward), then the affine-deferred fold (which also
+    covers textured scenes), then the planar XLA replay.  Counts segments
+    of BOTH correlated renders."""
     import numpy as np
 
     from fspt_tpu.config import RenderConfig
@@ -280,15 +316,15 @@ def bench_fwdbwd(width=1920, height=1080, spp=4, max_depth=8, band_rows=270,
     camera = builder.cameras[0]
     cfg = RenderConfig(width=width, height=height, spp=spp,
                        max_depth=max_depth)
-    grad_img_fn = make_affine_grad_image_fn(scene, camera, cfg)
+    grad_img_fn = make_grad_image_fn(scene, camera, cfg)
     if grad_img_fn is not None:
-        log("fwd+bwd path: affine-deferred megakernel + XLA fold adjoint")
+        log("fwd+bwd path: fused pallas megakernel + in-kernel-adjoint kernel")
 
         def img_fn(params, seed, f0, y0, rows):
             return grad_img_fn(params, seed, f0, y0, rows)
-    elif make_grad_image_fn(scene, camera, cfg) is not None:
-        grad_img_fn = make_grad_image_fn(scene, camera, cfg)
-        log("fwd+bwd path: fused pallas megakernel + in-kernel-adjoint kernel")
+    elif make_affine_grad_image_fn(scene, camera, cfg) is not None:
+        grad_img_fn = make_affine_grad_image_fn(scene, camera, cfg)
+        log("fwd+bwd path: affine-deferred megakernel + XLA fold adjoint")
 
         def img_fn(params, seed, f0, y0, rows):
             return grad_img_fn(params, seed, f0, y0, rows)
@@ -351,6 +387,11 @@ def main():
         log(f"mesh_grad_100k_rays_per_sec: {mg_rate:.3e}")
     except Exception as e:
         log(f"mesh-grad bench failed: {type(e).__name__}: {e}")
+    try:
+        ss_rate = bench_scene_sharded()
+        log(f"scene_sharded_rays_per_sec: {ss_rate:.3e}")
+    except Exception as e:
+        log(f"scene-sharded bench failed: {type(e).__name__}: {e}")
     try:
         # BASELINE config 2: specular/glossy mix, 4 bounces, 16spp at 512².
         spec_rate = bench_forward(width=512, height=512, spp=16, max_depth=4,

@@ -264,7 +264,8 @@ def make_bvh_traverser(bvh: FlatBVH, max_leaf: int,
 
 def make_mesh_intersector(scene_pack, block_rays: int = 64,
                           sub_bundles: int = 64, group: int = 8,
-                          interpret: bool | None = None, sort: bool = True):
+                          interpret: bool | None = None, sort: bool = True,
+                          pipeline_depth: int = 4, **trav_kwargs):
     """Full-scene intersector for BVH scenes: Pallas analytic kernel seeds
     ``t``, the culled MXU treelet kernel refines, triangle shading attributes
     gather in XLA.  Returns ``fn(start, seg[, alive]) → Hit`` or None if not
@@ -290,7 +291,9 @@ def make_mesh_intersector(scene_pack, block_rays: int = 64,
     coarse = build_treelet_chunks(v0, v1, v2)
     trav = make_culled_traverser(coarse, block_rays=block_rays,
                                  sub_bundles=sub_bundles, group=group,
-                                 interpret=interpret)
+                                 interpret=interpret,
+                                 pipeline_depth=pipeline_depth,
+                                 **trav_kwargs)
     ts = scene_pack.tri_shade
 
     # Mesh bounds for t clipping: every triangle hit lies inside this box,
@@ -857,7 +860,7 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
                           precision=jax.lax.Precision.HIGHEST,
                           interpret: bool | None = None,
                           ablate: str = "", early_exit: bool = True,
-                          tables=None):
+                          tables=None, pipeline_depth: int = 2):
     """Compile ``fn(start[N,3], seg[N,3], t_init[N]) → (t, tri_id, u, v)``.
 
     ``bvh`` must be built with max_leaf=TREELET.  Lanes with t_init<=0 are
@@ -1047,6 +1050,7 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
 
         col = jax.lax.broadcasted_iota(jnp.int32, (R, TREELET), 1)
         best0 = jnp.full((R, 1), -1, jnp.int32)  # packed leaf*TREELET+j
+        epilogue = make_epilogue(area_ref, col)
 
         def cond(state):
             return state[0] < count
@@ -1086,6 +1090,36 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
                     + 2.0)
                 k = jnp.where(cont, nk, count)
                 return (k, vis + G, t_best, best, *leaves_n)
+            t_best, best = epilogue(out_all, leaves, t_best, best)
+
+            # tlo is sorted ascending and t_blk only shrinks: the first
+            # too-far group ends the block's sweep.
+            k = jnp.where(cont, nk, count)
+            return (k, vis + G, t_best, best, *leaves_n)
+
+        k0 = jnp.zeros((), jnp.int32)
+        res = jax.lax.while_loop(cond, body, (k0, k0, t_best, best0, *leaves0))
+        vis, t_best, best = res[1], res[2], res[3]
+        # Column 2 reports leaf visits actually swept (profiling metric).
+        out_ref[:] = jnp.concatenate(
+            [t_best, pltpu.bitcast(best, jnp.float32),
+             jnp.full((R, 1), vis, jnp.float32).astype(jnp.float32),
+             jnp.zeros((R, 1), jnp.float32)], axis=1
+        )
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((R, _NF), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, 1, l_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM)
+    cspec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM)
+    ospec = pl.BlockSpec((R, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def make_epilogue(area_ref, col):
+        """Per-leaf MT validity + winner bookkeeping on the group's dot
+        output (shared by the parity and ring kernels)."""
+
+        def epilogue(out_all, leaves, t_best, best):
             for j in range(G):
                 base_c = j * _NQ * TREELET
                 det = out_all[:, base_c + 0 * TREELET:base_c + 1 * TREELET]
@@ -1132,29 +1166,104 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
                     hit_j, leaves[j] * TREELET + (kmin & (TREELET - 1)), best)
                 t_new = pltpu.bitcast(kmin & ~(TREELET - 1), jnp.float32)
                 t_best = jnp.where(hit_j, t_new, t_best)
+            return t_best, best
 
-            # tlo is sorted ascending and t_blk only shrinks: the first
-            # too-far group ends the block's sweep.
-            k = jnp.where(cont, nk, count)
-            return (k, vis + G, t_best, best, *leaves_n)
+        return epilogue
+
+    NB = pipeline_depth
+    GW = G * _NQ * TREELET
+
+    def ring_kernel(count_ref, list_ref, tlo_ref, F_ref, w_ref, area_ref,
+                    out_ref, wr, sems):
+        """NB-deep DMA ring: ~G·(NB−1) weight copies stay in flight, hiding
+        per-DMA latency the 2-buffer parity pipeline exposes, and the
+        current group's weights are read with ONE dynamic VMEM slice
+        instead of reading both parity buffers + select.  Issuance ignores
+        the early-exit test (at most NB−1 wasted group fetches per block);
+        compute still exits at the first too-far group, and every issued
+        DMA is awaited before kernel exit."""
+        F = F_ref[:]
+        t_best = F[:, 10:11]
+        count = count_ref[0, 0, 0]
+        nrw = _NF
+
+        def read_group(gk):
+            return [list_ref[0, 0, jnp.minimum(gk + j, l_pad - 1)]
+                    for j in range(G)]
+
+        def fetch(leaves, bi):
+            for j in range(G):
+                pltpu.make_async_copy(
+                    w_ref.at[pl.ds(leaves[j] * nrw, nrw), :],
+                    wr.at[bi, :, pl.ds(j * _NQ * TREELET, _NQ * TREELET)],
+                    sems.at[bi, j]).start()
+
+        def wait_buf(bi):
+            for j in range(G):
+                pltpu.make_async_copy(
+                    w_ref.at[pl.ds(0, nrw), :],
+                    wr.at[bi, :, pl.ds(j * _NQ * TREELET, _NQ * TREELET)],
+                    sems.at[bi, j]).wait()
+
+        # Invariant: before the iteration at slot k, every group slot
+        # < k + (NB-1)·G that is < count has been issued to buffer
+        # (slot//G) % NB.
+        for b in range(NB - 1):
+            gk = jnp.int32(b * G)
+            lv = read_group(gk)
+            jax.lax.cond(gk < count,
+                         lambda lv=lv, b=b: fetch(lv, jnp.int32(b % NB)),
+                         lambda: None)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, TREELET), 1)
+        best0 = jnp.full((R, 1), -1, jnp.int32)
+        epilogue = make_epilogue(area_ref, col)
+
+        def cond(state):
+            k, stop = state[0], state[1]
+            return (k < count) & ~stop
+
+        def body(state):
+            k, stop, vis, t_best, best = state
+            g = k // G
+            gi = k + (NB - 1) * G
+            lvn = read_group(jnp.minimum(gi, count - 1))
+            jax.lax.cond(gi < count,
+                         lambda: fetch(lvn, (g + NB - 1) % NB),
+                         lambda: None)
+
+            wait_buf(g % NB)
+            W = wr[pl.ds(g % NB, 1)].reshape(_NF, GW)
+            out_all = jnp.dot(F, W, preferred_element_type=jnp.float32,
+                              precision=precision)
+            leaves = read_group(k)
+            t_best, best = epilogue(out_all, leaves, t_best, best)
+
+            t_blk = jnp.minimum(jnp.max(t_best), 1.0)
+            nk = k + G
+            idx = jnp.minimum(nk, count - 1)
+            tlo_next = tlo_ref[0, 0, idx]
+            if early_exit:
+                stop = (nk < count) & (tlo_next > t_blk)
+            else:
+                stop = jnp.zeros((), bool)
+            return (nk, stop, vis + G, t_best, best)
 
         k0 = jnp.zeros((), jnp.int32)
-        res = jax.lax.while_loop(cond, body, (k0, k0, t_best, best0, *leaves0))
-        vis, t_best, best = res[1], res[2], res[3]
-        # Column 2 reports leaf visits actually swept (profiling metric).
+        res = jax.lax.while_loop(
+            cond, body, (k0, jnp.zeros((), bool), k0, t_best, best0))
+        k_exit, vis, t_best, best = res[0], res[2], res[3], res[4]
+        # Drain in-flight groups the early exit left behind.
+        for b in range(NB - 1):
+            gslot = k_exit + b * G
+            jax.lax.cond(gslot < count,
+                         lambda b=b: wait_buf(((k_exit // G) + b) % NB),
+                         lambda: None)
         out_ref[:] = jnp.concatenate(
             [t_best, pltpu.bitcast(best, jnp.float32),
              jnp.full((R, 1), vis, jnp.float32).astype(jnp.float32),
              jnp.zeros((R, 1), jnp.float32)], axis=1
         )
-
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    fspec = pl.BlockSpec((R, _NF), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    lspec = pl.BlockSpec((1, 1, l_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM)
-    cspec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM)
-    ospec = pl.BlockSpec((R, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     w_rows = T["w_mxu"]
     area = T["area"]
@@ -1270,19 +1379,28 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
         """Run the Pallas sweep kernel.  out[:,2] = leaf visits/block."""
         n_pad = F.shape[0]
         n_blocks = n_pad // R
+        if NB > 2:
+            scratch = [
+                pltpu.VMEM((NB, _NF, G * _NQ * TREELET), jnp.float32),
+                pltpu.SemaphoreType.DMA((NB, G)),
+            ]
+            kern = ring_kernel
+        else:
+            scratch = [
+                pltpu.VMEM((_NF, G * _NQ * TREELET), jnp.float32),
+                pltpu.VMEM((_NF, G * _NQ * TREELET), jnp.float32),
+                pltpu.SemaphoreType.DMA((G,)),
+                pltpu.SemaphoreType.DMA((G,)),
+            ]
+            kern = kernel
         return pl.pallas_call(
-            kernel,
+            kern,
             grid=(n_blocks,),
             in_specs=[cspec, lspec, lspec, fspec,
                       pl.BlockSpec(memory_space=pl.ANY), full],
             out_specs=ospec,
             out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((_NF, G * _NQ * TREELET), jnp.float32),
-                pltpu.VMEM((_NF, G * _NQ * TREELET), jnp.float32),
-                pltpu.SemaphoreType.DMA((G,)),
-                pltpu.SemaphoreType.DMA((G,)),
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(counts[:, None], order[:, None], tlo_sorted[:, None], F,
           w_rows, area)

@@ -422,4 +422,5 @@ def make_affine_grad_image_fn(scene_pack, camera, cfg,
         img = rad.reshape(rows, cfg.width, cfg.spp, 3).mean(axis=2)
         return img, segs
 
+    img_fn.planes = planes  # stage hook for profiling
     return img_fn

@@ -799,8 +799,23 @@ def fold_deferred_params(mats: HostMaterials, cfg, diffuse, emissive,
     e_tab = jnp.where(jnp.asarray(bc == 1)[:, None], glow,
                       jnp.where(jnp.asarray(bc == 2)[:, None], diffuse,
                                 emissive))
-    tid_tab = jnp.asarray(mats.tex_id, jnp.int32)
+    tid_tab = mats.tex_id
     tsc_tab = jnp.asarray(mats.tex_scale, jnp.float32)
+    rows = list(range(mats.count))
+    any_tex = bool((tid_tab >= 0).any())
+
+    def row_select(table, mid):
+        # Static select-lattice instead of a gather: its AD transpose is
+        # one masked reduction per material row — a TPU-sized [M,3] gather
+        # transposes to a scatter-add, which XLA serializes (measured
+        # SECONDS per band on the 1080p bench; the lattice folds to ms).
+        out0 = out1 = out2 = jnp.zeros_like(mid, jnp.float32)
+        for r in rows:
+            m = mid == r
+            out0 = jnp.where(m, table[r, 0], out0)
+            out1 = jnp.where(m, table[r, 1], out1)
+            out2 = jnp.where(m, table[r, 2], out2)
+        return out0, out1, out2
 
     n = s.shape[1]
     one = jnp.ones((n,), jnp.float32)
@@ -808,18 +823,19 @@ def fold_deferred_params(mats: HostMaterials, cfg, diffuse, emissive,
     Lx = Ly = Lz = jnp.zeros((n,), jnp.float32)
     for d in range(s.shape[0]):
         mc = mat_c[d]
-        safe_c = jnp.maximum(mc, 0)
-        dc0, dc1, dc2 = (diffuse[safe_c, 0], diffuse[safe_c, 1],
-                         diffuse[safe_c, 2])
-        tidc = jnp.where(mc >= 0, tid_tab[safe_c], -1)
-        tc0, tc1, tc2 = M.sample_texture_p(tex, tidc, tsc_tab[safe_c],
-                                           u[d], v[d], dc0, dc1, dc2)
+        tc0, tc1, tc2 = row_select(diffuse, mc)
+        if any_tex:
+            safe_c = jnp.maximum(mc, 0)
+            tidc = jnp.where(mc >= 0, jnp.asarray(tid_tab)[safe_c], -1)
+            tc0, tc1, tc2 = M.sample_texture_p(
+                tex, tidc, tsc_tab[safe_c], u[d], v[d], tc0, tc1, tc2)
         me = mat_e[d]
-        safe_e = jnp.maximum(me, 0)
-        ee0, ee1, ee2 = e_tab[safe_e, 0], e_tab[safe_e, 1], e_tab[safe_e, 2]
-        tide = jnp.where(me >= 0, tid_tab[safe_e], -1)
-        te0, te1, te2 = M.sample_texture_p(tex, tide, tsc_tab[safe_e],
-                                           u[d], v[d], ee0, ee1, ee2)
+        te0, te1, te2 = row_select(e_tab, me)
+        if any_tex:
+            safe_e = jnp.maximum(me, 0)
+            tide = jnp.where(me >= 0, jnp.asarray(tid_tab)[safe_e], -1)
+            te0, te1, te2 = M.sample_texture_p(
+                tex, tide, tsc_tab[safe_e], u[d], v[d], te0, te1, te2)
         has_e = me >= 0
         te0 = jnp.where(has_e, te0, 1.0)  # mat_e=-1: unit value
         te1 = jnp.where(has_e, te1, 1.0)  # (fast-render white slot)

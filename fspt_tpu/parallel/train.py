@@ -202,18 +202,17 @@ def make_fused_recovery_step(mesh, scene, camera, cfg: RenderConfig,
     from fspt_tpu.ops.pallas_grad import (make_affine_grad_image_fn,
                                           make_grad_image_fn)
 
-    # Radiometric fields (diffuse/emissive/glow/texels) ride the
-    # affine-deferred path: parameter-independent kernel + XLA-fold
-    # gradient, textured scenes included.  Scalar fields that bend rays
-    # need the in-kernel-adjoint tracer.
+    # Untextured scenes: the in-kernel-adjoint pair (fastest measured
+    # fwd+bwd).  Textured scenes / texel recovery: the affine-deferred
+    # fold — radiometric fields only (path geometry can't depend on them).
     radiometric = {"diffuse", "emissive", "glow", "texels"}
     img_fn = None
-    if set(fields) <= radiometric:
-        img_fn = make_affine_grad_image_fn(scene, camera, cfg,
-                                           **tracer_kwargs)
-    if img_fn is None:
+    if "texels" not in fields:
         img_fn = make_grad_image_fn(scene, camera, cfg, fields=fields,
                                     **tracer_kwargs)
+    if img_fn is None and set(fields) <= radiometric:
+        img_fn = make_affine_grad_image_fn(scene, camera, cfg,
+                                           **tracer_kwargs)
     if img_fn is None:
         raise ValueError("scene can't use the fused kernels; "
                          "use make_recovery_step")

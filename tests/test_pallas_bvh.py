@@ -7,6 +7,7 @@ from fspt_tpu.config import RenderConfig
 from fspt_tpu.ops.bvh import MAX_LEAF_TRIS, build_bvh, traverse_bvh
 from fspt_tpu.ops.pallas_bvh import (
     TREELET,
+    build_treelet_chunks,
     make_bvh_traverser,
     make_culled_traverser,
     make_mesh_intersector,
@@ -199,3 +200,26 @@ def test_pallas_cull_matches_xla_formula():
         # entry ts sorted ascending
         tl = np.asarray(tlo)[b, :k]
         assert (np.diff(tl) >= 0).all()
+
+
+def test_ring_pipeline_matches_parity():
+    """The NB-deep DMA ring sweep (pipeline_depth>2) returns exactly the
+    parity kernel's results (same winners, same t/u/v)."""
+    from test_diff_intersect import build_bvh_scene, rays_toward_mesh
+
+    scene = build_bvh_scene().compile()
+    fine = scene.bvh
+    order0 = np.argsort(np.asarray(fine.tri_id))
+    v0 = np.asarray(fine.tri_v0)[order0]
+    v1 = v0 + np.asarray(fine.tri_e1)[order0]
+    v2 = v0 + np.asarray(fine.tri_e2)[order0]
+    coarse = build_treelet_chunks(v0, v1, v2)
+    start, seg = rays_toward_mesh(256, seed=5)
+    ct2 = make_culled_traverser(coarse, block_rays=64, sub_bundles=64,
+                                group=8)
+    ct4 = make_culled_traverser(coarse, block_rays=64, sub_bundles=64,
+                                group=8, pipeline_depth=4)
+    for a, c, name in zip(ct2(start, seg), ct4(start, seg),
+                          ("t", "id", "u", "v")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c),
+                                      err_msg=name)
