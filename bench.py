@@ -299,16 +299,21 @@ def bench_fwdbwd(width=1920, height=1080, spp=4, max_depth=8, band_rows=270,
 
     value_and_grad of a dual-buffer material-recovery loss (the estimator
     examples/recover_albedo.py trains with) over the flagship scene, rendered
-    in horizontal bands.  Path cascade: the in-kernel-adjoint kernel pair
-    (fastest measured fwd+bwd for untextured scenes: 264 vs the affine
-    fold's 117 Mrays/s — the defer_all slot traffic + XLA fold cost ~10×
-    the megakernel forward), then the affine-deferred fold (which also
-    covers textured scenes), then the planar XLA replay.  Counts segments
-    of BOTH correlated renders."""
+    in horizontal bands.  Path cascade: the single fused LOSS KERNEL
+    (ops/pallas_grad.make_fused_loss_grad_fn — the dual-buffer product
+    loss has analytic radiance cotangents, so one kernel traces both
+    buffers and runs both adjoints: 2 traces + 2 adjoints per band-pair,
+    vs the custom-VJP pair's 2 traces + 2 re-traces + 2 adjoints), then
+    the in-kernel-adjoint kernel pair, then the affine-deferred fold
+    (textured scenes), then the planar XLA replay.  The loss kernel pairs
+    samples lane-level (an equally unbiased estimator of the same
+    objective); the fallback paths pair spp-averaged pixels.  Counts
+    segments of BOTH correlated renders."""
     import numpy as np
 
     from fspt_tpu.config import RenderConfig
     from fspt_tpu.ops.pallas_grad import (make_affine_grad_image_fn,
+                                          make_fused_loss_grad_fn,
                                           make_grad_image_fn)
 
     builder = build_bench_scene()
@@ -316,6 +321,38 @@ def bench_fwdbwd(width=1920, height=1080, spp=4, max_depth=8, band_rows=270,
     camera = builder.cameras[0]
     cfg = RenderConfig(width=width, height=height, spp=spp,
                        max_depth=max_depth)
+
+    fused = make_fused_loss_grad_fn(scene, camera, cfg, block_rows=32)
+    if fused is not None:
+        log("fwd+bwd path: single fused loss kernel (2 traces + 2 adjoints)")
+        params = {"diffuse": scene.materials.diffuse,
+                  "emissive": scene.materials.emissive}
+        target = jnp.zeros((band_rows, width, 3), jnp.float32)
+        fn = jax.jit(lambda p, f0, y0: fused(p, target, 7, f0, y0,
+                                             band_rows))
+        n_bands = height // band_rows
+        log(f"fwd+bwd: {n_bands} bands of {band_rows} rows, "
+            "dual-buffer loss")
+        t0 = time.time()
+        loss, grads, segs = fn(params, 1, 0)
+        jax.block_until_ready(grads)
+        log(f"fwd+bwd compile+first: {time.time()-t0:.1f}s "
+            f"segs={int(segs)}")
+        rates = []
+        for it in range(iters):
+            t0 = time.time()
+            total = 0
+            for bnd in range(n_bands):
+                loss, grads, segs = fn(params, it * n_bands + bnd + 2,
+                                       bnd * band_rows)
+                total += int(segs)
+            jax.block_until_ready(grads)
+            dt = time.time() - t0
+            rates.append(total / dt)
+            log(f"fwd+bwd iter {it}: {dt*1e3:.0f} ms, "
+                f"{total/dt/1e6:.1f} Mrays/s")
+        return summarize(rates)
+
     grad_img_fn = make_grad_image_fn(scene, camera, cfg)
     if grad_img_fn is not None:
         log("fwd+bwd path: fused pallas megakernel + in-kernel-adjoint kernel")

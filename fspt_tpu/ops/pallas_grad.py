@@ -424,3 +424,141 @@ def make_affine_grad_image_fn(scene_pack, camera, cfg,
 
     img_fn.planes = planes  # stage hook for profiling
     return img_fn
+
+
+def make_fused_loss_grad_fn(scene_pack, camera, cfg,
+                            fields=("diffuse", "emissive"),
+                            block_rows: int = DEFAULT_BLOCK_ROWS,
+                            interpret: bool | None = None):
+    """ONE kernel per band: dual-buffer loss AND parameter gradient.
+
+    The dual-buffer product loss has analytically-known radiance
+    cotangents (∂L/∂A = (B−t)·w), so the whole recovery step fuses into a
+    single Pallas kernel: trace buffer A, trace buffer B, form the
+    residual products, and run both in-kernel adjoints — per band-pair
+    that is 2 traces + 2 adjoints, versus the custom-VJP pair's
+    2 traces (fwd kernels) + 2 re-traces + 2 adjoints (bwd kernels).
+    Per-lane residuals never touch HBM; the kernel's only outputs are the
+    SMEM-accumulated loss, P gradients, and segment count.
+
+    The loss pairs SAMPLES (lane-level products, mean over lanes×channels)
+    instead of spp-averaged pixels — an equally unbiased estimator of the
+    same objective (independent sample sets), one that needs no cross-lane
+    reshapes in-kernel.
+
+    Returns ``fn(params, target[rows,W,3], seed, frame_idx, y0, rows) →
+    (loss, grads, segments)`` or None when the scene can't be specialized.
+    """
+    if scene_pack.bvh is not None:
+        return None
+    mats = HostMaterials(scene_pack.materials)
+    if mats.any_textured:
+        return None
+    scene = HostScene(scene_pack.geometry)
+    if scene.prim_count > MAX_SPECIALIZED_PRIMS:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sky_idx = int(scene_pack.sky_mat)
+    cam = HostCamera(camera, cfg.width, cfg.height)
+    raygen = build_fused_raygen(cam, cfg)
+    P = param_count(mats, fields)
+    f32 = jnp.float32
+
+    def kernel(pv_ref, h0_ref, s0a_ref, s0b_ref, l0_ref, n_ref,
+               tx_ref, ty_ref, tz_ref, loss_ref, g_ref, seg_ref):
+        pid = pl.program_id(0)
+        shape = tx_ref.shape
+        pvals = [pv_ref[i] for i in range(P)]
+
+        def make_f(s0):
+            sx, sy, sz, dx, dy, dz, pix_i, smp_i = raygen(
+                h0_ref[0], s0, l0_ref[0], shape, pid)
+            h0_i = jnp.full(shape, h0_ref[0], jnp.int32)
+
+            def f(*pv):
+                tv = _TableView(mats, fields, list(pv))
+                core = build_path_core(scene, mats, cfg, sky_idx, cam.z_far,
+                                       ops=MosaicOps, tmats=tv)
+                outs = core(h0_i, sx, sy, sz, dx, dy, dz, pix_i, smp_i)
+                return outs[0], outs[1], outs[2], outs[8]
+
+            return f
+
+        fa = make_f(s0a_ref[0])
+        fb = make_f(s0b_ref[0])
+
+        def f6(*pv):
+            ax, ay, az, sega = fa(*pv)
+            bx, by, bz, segb = fb(*pv)
+            return (ax, ay, az, bx, by, bz), sega + segb
+
+        (ax, ay, az, bx, by, bz), vjp, segc = jax.vjp(
+            f6, *pvals, has_aux=True)
+
+        # Pad-lane mask (the band tail rounds up to block granularity).
+        row_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        lane = (pid * shape[0] + row_i) * LANE + col_i
+        w = jnp.where(lane < n_ref[0], 1.0, 0.0)
+
+        tx, ty, tz = tx_ref[:], ty_ref[:], tz_ref[:]
+        rxa, rya, rza = ax - tx, ay - ty, az - tz
+        rxb, ryb, rzb = bx - tx, by - ty, bz - tz
+        loss_blk = jnp.sum(w * (rxa * rxb + rya * ryb + rza * rzb))
+        gs = vjp((rxb * w, ryb * w, rzb * w, rxa * w, rya * w, rza * w))
+        seg_blk = jnp.sum(jnp.where(lane < n_ref[0], segc, 0))
+
+        first = pid == 0
+        loss_ref[0] = jnp.where(first, 0.0, loss_ref[0]) + loss_blk
+        seg_ref[0] = jnp.where(first, 0, seg_ref[0]) + seg_blk
+        for i in range(P):
+            g_ref[i] = jnp.where(first, 0.0, g_ref[i]) + gs[i]
+
+    bspec = pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def fn(params, target, seed, frame_idx, y0, rows):
+        from fspt_tpu.ops import rng as rng_mod
+
+        n = rows * cfg.width * cfg.spp
+        prows = pl.cdiv(n, LANE)
+        pad_rows = pl.cdiv(prows, block_rows) * block_rows
+        n_pad = pad_rows * LANE
+
+        pvec = pack_params(params, fields)
+        seed_u = jnp.asarray(seed).astype(jnp.uint32)
+        h0 = rng_mod.pcg_hash(seed_u ^ jnp.uint32(0x9E3779B9))
+        h0 = jax.lax.bitcast_convert_type(h0, jnp.int32).reshape(1)
+        s0a = jnp.asarray(frame_idx * cfg.spp, jnp.int32).reshape(1)
+        s0b = jnp.asarray((frame_idx + 10007) * cfg.spp,
+                          jnp.int32).reshape(1)
+        l0 = jnp.asarray(y0 * cfg.width * cfg.spp, jnp.int32).reshape(1)
+        n_t = jnp.asarray(n, jnp.int32).reshape(1)
+
+        tgt = jnp.repeat(
+            jnp.asarray(target, f32).reshape(rows * cfg.width, 3),
+            cfg.spp, axis=0)
+        tplanes = [
+            jnp.pad(tgt[:, c], (0, n_pad - n)).reshape(pad_rows, LANE)
+            for c in range(3)
+        ]
+
+        loss_s, gvec, segs = pl.pallas_call(
+            kernel,
+            grid=(pad_rows // block_rows,),
+            in_specs=[sspec] * 6 + [bspec] * 3,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_shape=[jax.ShapeDtypeStruct((1,), f32),
+                       jax.ShapeDtypeStruct((P,), f32),
+                       jax.ShapeDtypeStruct((1,), jnp.int32)],
+            interpret=interpret,
+        )(pvec, h0, s0a, s0b, l0, n_t, *tplanes)
+
+        norm = 1.0 / (3.0 * n)
+        grads = unpack_params(gvec * norm, mats, fields)
+        return loss_s[0] * norm, grads, segs[0]
+
+    fn.fields = fields
+    return fn

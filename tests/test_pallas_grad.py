@@ -216,3 +216,37 @@ def test_affine_grad_textured_scene_fd():
     fd = (float(loss(texels0 + dv)) - float(loss(texels0 - dv))) / (2 * eps)
     np.testing.assert_allclose(float(gn[ti, tc]), fd, rtol=2e-2,
                                atol=1e-6)
+
+
+def test_fused_loss_grad_matches_two_kernel():
+    """The one-kernel dual-buffer loss+grad equals the explicit
+    value_and_grad of the same lane-level loss through the custom-VJP
+    tracer pair."""
+    from fspt_tpu.ops.pallas_grad import make_fused_loss_grad_fn
+
+    scene, cam, cfg = _setup(width=16, height=12, spp=2, max_depth=3)
+    fused = make_fused_loss_grad_fn(scene, cam, cfg)
+    assert fused is not None
+    tracer = make_grad_path_tracer(scene, cam, cfg)
+    params = {"diffuse": scene.materials.diffuse,
+              "emissive": scene.materials.emissive}
+    rng = np.random.default_rng(0)
+    target = rng.random((cfg.height, cfg.width, 3)).astype(np.float32)
+    tgt_lane = jnp.repeat(
+        jnp.asarray(target).reshape(-1, 3), cfg.spp, axis=0)
+
+    def ref_loss(p, f0):
+        pvec = pack_params(p, tracer.fields)
+        a = tracer(pvec, 5, f0 * cfg.spp).radiance
+        b = tracer(pvec, 5, (f0 + 10007) * cfg.spp).radiance
+        return jnp.mean((a - tgt_lane) * (b - tgt_lane))
+
+    ref_v, ref_g = jax.value_and_grad(ref_loss)(params, 3)
+    loss, grads, segs = fused(params, jnp.asarray(target), 5, 3, 0,
+                              cfg.height)
+    np.testing.assert_allclose(float(loss), float(ref_v), rtol=1e-5)
+    assert int(segs) > 0
+    for k in grads:
+        np.testing.assert_allclose(np.asarray(grads[k]),
+                                   np.asarray(ref_g[k]),
+                                   rtol=1e-4, atol=1e-8, err_msg=k)
