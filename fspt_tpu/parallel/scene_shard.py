@@ -351,8 +351,22 @@ def make_scene_sharded_render_step(mesh, cfg: RenderConfig,
         check_vma=False,
     )
 
-    def step(scene_in, camera, fb, seed, frame_idx):
-        return fn(stacked_bvh, stacked_shade, stacked_gids, stacked_tabs,
-                  box_lo, box_hi, scene_in, camera, fb, seed, frame_idx)
+    # Commit replicated inputs to their post-step sharding up front —
+    # an unspecified-sharding first call would compile a second
+    # executable for every later call (the duplicate-compile bug fixed
+    # in parallel/train.py, same mechanism).
+    _rep = jax.sharding.NamedSharding(mesh, P())
 
-    return jax.jit(step)
+    def _commit(tree):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, _rep)
+            if isinstance(x, jax.Array) else x, tree)
+
+    jfn = jax.jit(fn)
+
+    def step(scene_in, camera, fb, seed, frame_idx):
+        return jfn(stacked_bvh, stacked_shade, stacked_gids, stacked_tabs,
+                   box_lo, box_hi, _commit(scene_in), _commit(camera),
+                   _commit(fb), seed, frame_idx)
+
+    return step
