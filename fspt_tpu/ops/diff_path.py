@@ -38,6 +38,29 @@ import numpy as np
 
 from fspt_tpu.camera import generate_rays
 from fspt_tpu.ops import rng as rng_mod
+
+
+@jax.custom_vjp
+def _sanitize_grad(x):
+    """Identity whose backward replaces non-finite cotangents with 0 and
+    clips the rest.  Grazing-incidence hits make the intersection chain's
+    reverse derivatives heavy-tailed (1/cos-theta scaling); one overflowing
+    lane would otherwise poison the whole band's camera/geometry gradient
+    with NaN.  Applied to the primary-ray inputs only — well-conditioned
+    lanes keep exact derivatives."""
+    return x
+
+
+def _sanitize_fwd(x):
+    return x, None
+
+
+def _sanitize_bwd(_, ct):
+    return (jnp.clip(jnp.nan_to_num(ct, nan=0.0, posinf=0.0, neginf=0.0),
+                     -1e12, 1e12),)
+
+
+_sanitize_grad.defvjp(_sanitize_fwd, _sanitize_bwd)
 from fspt_tpu.ops.pallas_path import (
     HostMaterials,
     HostScene,
@@ -96,6 +119,8 @@ def make_diff_path(scene_pack, cfg, z_far: float = 10000.0,
         start, seg, pixel_idx, sample_idx = generate_rays(
             camera, cfg.width, cfg.height, cfg.spp, seed, sample0,
             y0=y0, rows=rows)
+        start = _sanitize_grad(start)
+        seg = _sanitize_grad(seg)
         seed_u = jnp.asarray(seed).astype(jnp.uint32)
         h0 = rng_mod.pcg_hash(seed_u ^ jnp.uint32(0x9E3779B9))
         h0 = jax.lax.bitcast_convert_type(h0, jnp.int32)

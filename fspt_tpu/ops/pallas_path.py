@@ -159,10 +159,14 @@ def _rotate(vx, vy, vz, angle, ax, ay, az):
 
 
 def _refract(vx, vy, vz, nx, ny, nz, index):
-    """vector3::refract (vector3.h:205-214): TIR → zero, else normalized."""
+    """vector3::refract (vector3.h:205-214): TIR → zero, else normalized.
+
+    TIR lanes take sqrt(1) rather than sqrt(0) — sqrt's infinite slope at
+    0 would turn their zero cotangent into NaN in reverse AD; the value is
+    masked out by ``tir`` either way."""
     ndv = -(vx * nx + vy * ny + vz * nz)
     sin2 = (index * index) * (1.0 - ndv * ndv)
-    k = index * ndv - jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+    k = index * ndv - jnp.sqrt(jnp.where(sin2 < 1.0, 1.0 - sin2, 1.0))
     rx, ry, rz = vx * index + nx * k, vy * index + ny * k, vz * index + nz * k
     rx, ry, rz = _norm3(rx, ry, rz)
     tir = sin2 >= 1.0

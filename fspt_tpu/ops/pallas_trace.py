@@ -134,6 +134,58 @@ def _merge(state, t_new, valid, nx, ny, nz, mat, kind, u=None, v=None):
     return (t, snx, sny, snz, smat, skind, su, sv_)
 
 
+@jax.custom_vjp
+def _graze_div(ns, ts, floor):
+    """``ns / ts`` with a derivative floor on ``|ts|``.
+
+    The plane-hit parameter t = ns/ts is exact in the forward pass, but its
+    derivatives scale as 1/ts — at glancing incidence (|ts| = |seg|·cosθ →
+    0) reverse-mode cotangents overflow f32 and poison the whole band's
+    gradient with 0·inf = NaN (observed through the camera chain at depth
+    3).  The backward pass therefore clamps |ts| to ``floor`` (≈1e-3·|seg|,
+    i.e. incidence shallower than ~0.06°): values are untouched, well-
+    conditioned lanes keep exact derivatives, and pathological lanes get a
+    bounded (slightly biased) derivative instead of NaN.
+    """
+    return ns / ts
+
+
+def _graze_div_fwd(ns, ts, floor):
+    return ns / ts, (ns, ts, floor)
+
+
+def _graze_div_bwd(res, ct):
+    ns, ts, floor = res
+    sgn = jnp.where(ts < 0.0, -1.0, 1.0)
+    ts_safe = sgn * jnp.maximum(jnp.abs(ts), floor)
+    return (ct / ts_safe, -ct * ns / (ts_safe * ts_safe), None)
+
+
+_graze_div.defvjp(_graze_div_fwd, _graze_div_bwd)
+
+
+@jax.custom_vjp
+def _graze_sqrt(x, floor):
+    """``sqrt(x)`` whose backward floors the root at ``floor`` — the
+    sphere-tangent analog of :func:`_graze_div` (disc → 0 at grazing
+    incidence makes d sqrt = ct/(2·sqrt) explode)."""
+    return jnp.sqrt(x)
+
+
+def _graze_sqrt_fwd(x, floor):
+    r = jnp.sqrt(x)
+    return r, (r, floor)
+
+
+def _graze_sqrt_bwd(res, ct):
+    r, floor = res
+    return (ct / (2.0 * jnp.maximum(r, floor)), None)
+
+
+_graze_sqrt.defvjp(_graze_sqrt_fwd, _graze_sqrt_bwd)
+
+
+
 def intersect_lanes(scene: HostScene, sx, sy, sz, dx, dy, dz,
                     want_texcoords: bool = True):
     """Closest-hit over baked primitives for a lane block.
@@ -154,6 +206,9 @@ def intersect_lanes(scene: HostScene, sx, sy, sz, dx, dy, dz,
         )
 
         kfull = lambda val: jnp.full(sx.shape, val, jnp.int32)
+        # Derivative floor for plane-hit divisions (see _graze_div).
+        seg_len = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        graze_floor = jax.lax.stop_gradient(1e-3 * seg_len + 1e-20)
 
         # --- spheres (intersect.cpp:421-488) --------------------------------
         for (c, r, m) in scene.spheres:
@@ -164,7 +219,13 @@ def intersect_lanes(scene: HostScene, sx, sy, sz, dx, dy, dz,
             oc2 = ox * ox + oy * oy + oz * oz
             cc = oc2 - r * r
             disc = b * b - 4.0 * a * cc
-            sq = jnp.sqrt(jnp.where(disc >= 0.0, disc, 0.0))
+            # Miss lanes take sqrt(1), not sqrt(0): sqrt's infinite slope
+            # at 0 turns their zero cotangent into 0·inf = NaN in reverse
+            # AD (the differentiable planar replay shares this body; same
+            # guard as ops/intersect.py).  Valid-lane values are unchanged;
+            # near-tangent valid lanes get the _graze_sqrt derivative floor.
+            sq = _graze_sqrt(jnp.where(disc >= 0.0, disc, 1.0),
+                             jax.lax.stop_gradient(1e-3 * jnp.abs(b) + 1e-12))
             inside = oc2 <= r * r
             tc = jnp.where(inside, -b + sq, -b - sq) / (2.0 * a)
             valid = (disc >= 0.0) & (tc >= 0.0) & (tc <= 1.0)
@@ -180,7 +241,8 @@ def intersect_lanes(scene: HostScene, sx, sy, sz, dx, dy, dz,
             ts = p0 * dx + p1 * dy + p2 * dz
             ns = -(p0 * sx + p1 * sy + p2 * sz + pw)
             np_ = jnp.abs(ts) >= eps
-            tc = ns / jnp.where(np_, ts, 1.0)
+            tc = _graze_div(ns, jnp.where(np_, ts, 1.0),
+                            graze_floor)
             valid = np_ & (tc >= 0.0) & (tc <= 1.0)
             ones = jnp.ones_like(sx)
             state = _merge(state, tc, valid, p0 * ones, p1 * ones, p2 * ones,
@@ -192,7 +254,8 @@ def intersect_lanes(scene: HostScene, sx, sy, sz, dx, dy, dz,
             ts = p0 * dx + p1 * dy + p2 * dz
             ns = -(p0 * sx + p1 * sy + p2 * sz + pw)
             np_ = jnp.abs(ts) >= eps
-            tc = ns / jnp.where(np_, ts, 1.0)
+            tc = _graze_div(ns, jnp.where(np_, ts, 1.0),
+                            graze_floor)
             px, py, pz = sx + dx * tc, sy + dy * tc, sz + dz * tc
             ex, ey, ez = px - float(o[0]), py - float(o[1]), pz - float(o[2])
             in_r = (ex * ex + ey * ey + ez * ez) <= r * r
@@ -207,7 +270,8 @@ def intersect_lanes(scene: HostScene, sx, sy, sz, dx, dy, dz,
             ts = p0 * dx + p1 * dy + p2 * dz
             ns = -(p0 * sx + p1 * sy + p2 * sz + pw)
             np_ = jnp.abs(ts) >= eps
-            tc = ns / jnp.where(np_, ts, 1.0)
+            tc = _graze_div(ns, jnp.where(np_, ts, 1.0),
+                            graze_floor)
             px, py, pz = sx + dx * tc, sy + dy * tc, sz + dz * tc
             ex, ey, ez = px - float(o[0]), py - float(o[1]), pz - float(o[2])
             td = float(tan[0]) * ex + float(tan[1]) * ey + float(tan[2]) * ez
@@ -226,7 +290,8 @@ def intersect_lanes(scene: HostScene, sx, sy, sz, dx, dy, dz,
                 ts = p0 * dx + p1 * dy + p2 * dz
                 ns = -(p0 * sx + p1 * sy + p2 * sz + pw)
                 np_ = jnp.abs(ts) >= eps
-                tc = ns / jnp.where(np_, ts, 1.0)
+                tc = _graze_div(ns, jnp.where(np_, ts, 1.0),
+                                graze_floor)
                 px, py, pz = sx + dx * tc, sy + dy * tc, sz + dz * tc
                 inside = np_
                 for jf in range(6):
