@@ -409,39 +409,34 @@ def bench_fwdbwd(width=1920, height=1080, spp=4, max_depth=8, band_rows=270,
 
 def main():
     log(f"devices: {jax.devices()}")
-    try:
-        mesh_rate = bench_mesh()
-        log(f"mesh_100k_rays_per_sec: {mesh_rate:.3e}")
-    except Exception as e:  # mesh bench is informational; don't kill headline
-        log(f"mesh bench failed: {type(e).__name__}: {e}")
-    try:
-        fb_rate = bench_fwdbwd()
-        log(f"fwdbwd_1080p_4spp_rays_per_sec: {fb_rate:.3e}")
-    except Exception as e:
-        log(f"fwd+bwd bench failed: {type(e).__name__}: {e}")
-    try:
-        mg_rate = bench_mesh_grad()
-        log(f"mesh_grad_100k_rays_per_sec: {mg_rate:.3e}")
-    except Exception as e:
-        log(f"mesh-grad bench failed: {type(e).__name__}: {e}")
-    try:
-        ss_rate = bench_scene_sharded()
-        log(f"scene_sharded_rays_per_sec: {ss_rate:.3e}")
-    except Exception as e:
-        log(f"scene-sharded bench failed: {type(e).__name__}: {e}")
-    try:
-        # BASELINE config 2: specular/glossy mix, 4 bounces, 16spp at 512².
-        spec_rate = bench_forward(width=512, height=512, spp=16, max_depth=4,
-                                  outer_iters=3)
-        log(f"specular_16spp_512_rays_per_sec: {spec_rate:.3e}")
-    except Exception as e:
-        log(f"specular bench failed: {type(e).__name__}: {e}")
+    # Every metric accumulates into ONE final JSON object printed as the
+    # LAST line: the driver keeps only the output tail, so the aggregate
+    # line alone must carry the full record (VERDICT r4 weak #6 — the r4
+    # mesh/Cornell rows scrolled off the 2000-char window).
+    metrics = {}
+
+    def run(name, fn):
+        try:
+            metrics[name] = fn()
+            log(f"{name}: {metrics[name]:.3e}")
+        except Exception as e:  # aux rows are informational; keep going
+            log(f"{name} failed: {type(e).__name__}: {e}")
+
+    run("mesh_100k_rays_per_sec", bench_mesh)
+    run("fwdbwd_1080p_4spp_rays_per_sec", bench_fwdbwd)
+    run("mesh_grad_100k_rays_per_sec", bench_mesh_grad)
+    run("scene_sharded_rays_per_sec", bench_scene_sharded)
+    # BASELINE config 2: specular/glossy mix, 4 bounces, 16spp at 512².
+    run("specular_16spp_512_rays_per_sec",
+        lambda: bench_forward(width=512, height=512, spp=16, max_depth=4,
+                              outer_iters=3))
     rate = bench_forward()
     print(json.dumps({
         "metric": "fwd_rays_per_sec_per_chip_cornell",
         "value": rate,
         "unit": "rays/s",
         "vs_baseline": rate / TARGET,
+        **metrics,
     }))
 
 

@@ -38,6 +38,13 @@ import numpy as np
 
 from fspt_tpu.camera import generate_rays
 from fspt_tpu.ops import rng as rng_mod
+from fspt_tpu.ops.pallas_path import (
+    HostMaterials,
+    HostScene,
+    MAX_SPECIALIZED_PRIMS,
+    XlaOps,
+    build_path_core,
+)
 
 
 @jax.custom_vjp
@@ -61,13 +68,6 @@ def _sanitize_bwd(_, ct):
 
 
 _sanitize_grad.defvjp(_sanitize_fwd, _sanitize_bwd)
-from fspt_tpu.ops.pallas_path import (
-    HostMaterials,
-    HostScene,
-    MAX_SPECIALIZED_PRIMS,
-    XlaOps,
-    build_path_core,
-)
 
 
 def make_diff_path(scene_pack, cfg, z_far: float = 10000.0,

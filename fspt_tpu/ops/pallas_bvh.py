@@ -1236,8 +1236,16 @@ def make_culled_traverser(bvh: FlatBVH, block_rays: int = 128,
             W = wr[pl.ds(g % NB, 1)].reshape(_NF, GW)
             out_all = jnp.dot(F, W, preferred_element_type=jnp.float32,
                               precision=precision)
-            leaves = read_group(k)
-            t_best, best = epilogue(out_all, leaves, t_best, best)
+            if ablate == "dot":
+                # Same consume-without-epilogue branch as the parity kernel
+                # (dot-only roofline ablation must work at any ring depth).
+                t_best = jnp.minimum(
+                    t_best,
+                    jnp.min(out_all, axis=1, keepdims=True) * jnp.float32(1e-30)
+                    + 2.0)
+            else:
+                leaves = read_group(k)
+                t_best, best = epilogue(out_all, leaves, t_best, best)
 
             t_blk = jnp.minimum(jnp.max(t_best), 1.0)
             nk = k + G

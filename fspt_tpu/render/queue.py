@@ -134,6 +134,16 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         tgt = jnp.where(mask & (idx >= 0), idx, p)
         return buf.at[tgt].set(val, mode="drop", unique_indices=True)
 
+    def scatter_unique(buf, mask, idx, val, pad_base):
+        """Strictly-unique scatter-set (the defined-semantics form): row i
+        of a masked-off lane targets pad row ``pad_base + i``, so indices
+        are unique even across dropped rows — no reliance on XLA confining
+        a pad-row race.  Costs ``q`` extra pad rows; used for the
+        gradient-critical winner-id record buffers."""
+        tgt = jnp.where(mask & (idx >= 0), idx,
+                        pad_base + jnp.arange(idx.shape[0], dtype=jnp.int32))
+        return buf.at[tgt].set(val, mode="drop", unique_indices=True)
+
     def body(st):
         st = refill(st)
         o, d, alive = st["o"], st["d"], st["alive"]
@@ -147,10 +157,10 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
             # Winner-id record for the two-phase differentiable replay:
             # row (lane, depth) of the [N·D] buffers.
             ridx = st["lane_id"] * eff_depth + depth
-            st["rec_ids"] = scatter_mask(st["rec_ids"], alive, ridx,
-                                         hit.prim_id, pad=n * eff_depth)
-            st["rec_hit"] = scatter_mask(st["rec_hit"], alive, ridx,
-                                         hit.hit, pad=n * eff_depth)
+            st["rec_ids"] = scatter_unique(st["rec_ids"], alive, ridx,
+                                           hit.prim_id, n * eff_depth)
+            st["rec_hit"] = scatter_unique(st["rec_hit"], alive, ridx,
+                                           hit.hit, n * eff_depth)
 
         pix = (st["lane_id"] // (cfg.width * cfg.spp) + y0) * cfg.width + (
             st["lane_id"] // cfg.spp) % cfg.width
@@ -292,8 +302,10 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         "aov_mat": jnp.zeros((n + 1,), jnp.int32),
     }
     if record_hits:
-        state["rec_ids"] = jnp.full((n * eff_depth + 1,), -1, jnp.int32)
-        state["rec_hit"] = jnp.zeros((n * eff_depth + 1,), bool)
+        # q pad rows (not 1): scatter_unique gives every dropped lane its
+        # own pad slot so the record scatter has defined semantics.
+        state["rec_ids"] = jnp.full((n * eff_depth + q,), -1, jnp.int32)
+        state["rec_hit"] = jnp.zeros((n * eff_depth + q,), bool)
     st = jax.lax.while_loop(cond, body, state)
     out = TraceOutput(
         radiance=st["radiance_buf"][:n],

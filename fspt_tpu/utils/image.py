@@ -219,6 +219,10 @@ def _huf_decompress(data: bytes, n_expected: int) -> np.ndarray:
             cs = dr.get(8)
             if produced == 0:
                 raise ValueError("EXR PIZ: run-length code at stream start")
+            if produced + cs > n_expected:
+                # OpenEXR's hufDecode overrun check: a run that would write
+                # past the expected output means a corrupt stream.
+                raise ValueError("EXR PIZ: run-length overrun")
             out[produced: produced + cs] = out[produced - 1]
             produced += cs
         else:
@@ -325,8 +329,10 @@ def _piz_decode(raw: bytes, channels, width: int, n_lines: int) -> bytes:
 def load_exr(path: str) -> np.ndarray:
     """Minimal scanline OpenEXR reader → float32 [H,W,3] (R,G,B).
 
-    Supports single-part scanline files with NONE/ZIPS/ZIP compression and
-    HALF/FLOAT channels — the formats TinyEXR-loaded sky domes actually use.
+    Supports single-part scanline files with NONE/RLE/ZIPS/ZIP/PIZ
+    compression and HALF/FLOAT channels (PIZ is HALF-only) — the same codec
+    envelope as the reference's vendored TinyEXR loader
+    (tiny_exr_loader.h:7198-7200: PXR24/B44/DWA are absent there too).
     """
     with open(path, "rb") as f:
         data = f.read()
