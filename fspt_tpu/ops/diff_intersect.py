@@ -155,6 +155,131 @@ def make_recorded_replay(scene_pack):
     return bind
 
 
+def make_planar_recorded_replay(scene_pack, cfg, z_far: float):
+    """Planar ``[N]``-state replay renderer — the fast phase-2 of the
+    two-phase differentiable mesh path.
+
+    The wavefront replay (integrator.render_wavefront + make_recorded_replay)
+    carries ``[N,3]``/``[N,1]`` loop state, which XLA pads to (8,128) tiles
+    on TPU — a 42×/128× HBM-traffic expansion paid again by every saved
+    residual in the backward pass (the ops/diff_path.py analysis).  This
+    renderer instantiates the SAME path body (pallas_path.build_path_core,
+    XlaOps) over component-planar arrays with a per-depth recorded-winner
+    Möller–Trumbore intersect: all triangle attributes gather as planar
+    ``[N]`` columns, and the edge-reparameterized silhouette term rides the
+    core's ``use_edge`` block (integrator.py:171-201 parity).
+
+    Returns ``render(tris, ids, hitm, camera, seed, sample0, y0=0,
+    rows=None) → (radiance[N,3], segments)`` differentiable w.r.t. the
+    ``tris`` dict (tris_from_scene layout), or None when the scene can't
+    use the planar body (textured materials / too many analytic prims).
+    """
+    from fspt_tpu.camera import generate_rays
+    from fspt_tpu.ops import rng as rng_mod
+    from fspt_tpu.ops.pallas_path import (MAX_SPECIALIZED_PRIMS,
+                                          HostMaterials, HostScene, XlaOps,
+                                          build_path_core)
+    from fspt_tpu.ops.pallas_trace import intersect_lanes
+    from fspt_tpu.scene.geometry import INVALID_PARAM
+
+    mats = HostMaterials(scene_pack.materials)
+    if mats.any_textured:
+        return None
+    scene = HostScene(scene_pack.geometry)
+    if scene.prim_count > MAX_SPECIALIZED_PRIMS:
+        return None
+    sky_idx = int(scene_pack.sky_mat)
+    zf = float(z_far)
+    inf = jnp.float32(3.0e38)
+
+    def render(tris, ids, hitm, camera, seed, sample0, y0=0, rows=None):
+        # Planar component views: [N] gathers of [T] columns stay densely
+        # tiled; a [T,3] gather would save padded [N,3] residuals.
+        comp = {k: [tris[k][:, i] for i in range(3)]
+                for k in ("v0", "v1", "v2", "n0", "n1", "n2")}
+        mat_col = tris["mat"]
+        counter = iter(range(int(ids.shape[1])))
+
+        def intersect(sx, sy, sz, dx, dy, dz):
+            d = next(counter)
+            tid_raw = ids[:, d]
+            fh = hitm[:, d]
+            tri_hit = tid_raw >= 0
+            tid = jnp.maximum(tid_raw, 0)
+            g = lambda k, i: comp[k][i][tid]
+            v0x, v0y, v0z = g("v0", 0), g("v0", 1), g("v0", 2)
+            e1x, e1y, e1z = g("v1", 0) - v0x, g("v1", 1) - v0y, g("v1", 2) - v0z
+            e2x, e2y, e2z = g("v2", 0) - v0x, g("v2", 1) - v0y, g("v2", 2) - v0z
+            # Möller–Trumbore of the single recorded winner (planar form of
+            # _replay_hit).
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+            tvx, tvy, tvz = sx - v0x, sy - v0y, sz - v0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dx * qvx + dy * qvy + dz * qvz) * inv
+            t_tri = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+            nx = g("n0", 0) + (g("n1", 0) - g("n0", 0)) * u \
+                + (g("n2", 0) - g("n0", 0)) * v
+            ny = g("n0", 1) + (g("n1", 1) - g("n0", 1)) * u \
+                + (g("n2", 1) - g("n0", 1)) * v
+            nz = g("n0", 2) + (g("n1", 2) - g("n0", 2)) * u \
+                + (g("n2", 2) - g("n0", 2)) * v
+            # World distance to the nearest edge (drives use_edge).
+            crx = e1y * e2z - e1z * e2y
+            cry = e1z * e2x - e1x * e2z
+            crz = e1x * e2y - e1y * e2x
+            a2 = jnp.sqrt(crx * crx + cry * cry + crz * crz)
+            w_ = 1.0 - u - v
+            l1 = jnp.sqrt(e1x * e1x + e1y * e1y + e1z * e1z)
+            l2 = jnp.sqrt(e2x * e2x + e2y * e2y + e2z * e2z)
+            dex, dey, dez = e2x - e1x, e2y - e1y, e2z - e1z
+            l12 = jnp.sqrt(dex * dex + dey * dey + dez * dez)
+            d_u = u * a2 / jnp.maximum(l2, 1e-30)
+            d_v = v * a2 / jnp.maximum(l1, 1e-30)
+            d_w = w_ * a2 / jnp.maximum(l12, 1e-30)
+            ed = jnp.minimum(jnp.minimum(d_u, d_v), d_w)
+
+            # Analytic lanes fall through to the baked planar merge (BVH
+            # scenes keep only analytic prims in scene.geometry).
+            bt, bnx, bny, bnz, bmat, bkind, buu, bvv = intersect_lanes(
+                scene, sx, sy, sz, dx, dy, dz)
+            t = jnp.where(tri_hit, t_tri, bt)
+            # The recorded hit flag IS the traversal decision: misses get
+            # the sentinel so the core's `t < INVALID_PARAM` test agrees.
+            t = jnp.where(fh, t, jnp.float32(INVALID_PARAM))
+            return (t,
+                    jnp.where(tri_hit, nx, bnx),
+                    jnp.where(tri_hit, ny, bny),
+                    jnp.where(tri_hit, nz, bnz),
+                    jnp.where(tri_hit, mat_col[tid], bmat),
+                    jnp.where(tri_hit, KIND_TRIANGLE, bkind),
+                    buu, bvv,
+                    jnp.where(tri_hit, ed, inf))
+
+        intersect.has_edge_dist = True
+        core = build_path_core(scene, mats, cfg, sky_idx, zf, ops=XlaOps,
+                               intersect=intersect)
+        start, seg, pixel_idx, sample_idx = generate_rays(
+            camera, cfg.width, cfg.height, cfg.spp, seed, sample0,
+            y0=y0, rows=rows)
+        seed_u = jnp.asarray(seed).astype(jnp.uint32)
+        h0 = rng_mod.pcg_hash(seed_u ^ jnp.uint32(0x9E3779B9))
+        h0 = jax.lax.bitcast_convert_type(h0, jnp.int32)
+        outs = core(h0, start[:, 0], start[:, 1], start[:, 2],
+                    seg[:, 0], seg[:, 1], seg[:, 2],
+                    pixel_idx.astype(jnp.int32),
+                    sample_idx.astype(jnp.int32))
+        return jnp.stack(outs[:3], axis=-1), jnp.sum(outs[8])
+
+    return render
+
+
 def make_diff_mesh_intersector(scene_pack, **fast_kwargs):
     """Build the replay intersector for a BVH scene.
 

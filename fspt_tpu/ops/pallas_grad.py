@@ -39,9 +39,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fspt_tpu import materials as M
+
 from fspt_tpu.ops.pallas_path import (
     LANE,
     MAX_SPECIALIZED_PRIMS,
+    PATH_FLOAT_KEYS,
     HostCamera,
     HostMaterials,
     HostScene,
@@ -426,10 +429,68 @@ def make_affine_grad_image_fn(scene_pack, camera, cfg,
     return img_fn
 
 
+#: Fields whose values scale radiance without ever bending a ray
+#: (material.cpp:107-127 analog): path geometry is independent of them,
+#: so their gradient needs no adjoint of the trace at all.
+RADIOMETRIC_FIELDS = frozenset({"diffuse", "emissive", "glow"})
+
+
+def _fold_slots(tv, mats: HostMaterials, cfg, slots, p_light):
+    """In-kernel affine fold: per-depth ``L += T·(te·se); T *= (tc·s+k)``
+    over ``defer_all`` slot planes, with the coef/bias values selected
+    from ``tv`` (traced or snapshot) by the static per-row lattice —
+    the register-resident mirror of pallas_path.fold_deferred_params
+    (untextured scenes; texel scenes use the XLA fold)."""
+    mt = mats.mtype
+    first = slots[0]["s"]
+    one = jnp.ones_like(first)
+    Tx = Ty = Tz = one
+    Lx = Ly = Lz = jnp.zeros_like(first)
+    rows = range(mats.count)
+    for sl in slots:
+        s, k, se = sl["s"], sl["k"], sl["se"]
+        mc, me = sl["mat"], sl["mat_e"]
+        tc0 = tc1 = tc2 = jnp.zeros_like(s)
+        for r in rows:
+            m = mc == r
+            d = tv.diffuse[r]
+            tc0 = jnp.where(m, d[0], tc0)
+            tc1 = jnp.where(m, d[1], tc1)
+            tc2 = jnp.where(m, d[2], tc2)
+        # Bias column is static per row: glow for Glow, diffuse for Fog,
+        # emissive otherwise (lights / sky); me = -1 keeps the implicit
+        # unit value (fast-render white terminal).
+        te0 = te1 = te2 = one
+        for r in rows:
+            m = me == r
+            if mt[r] == M.GLOW:
+                v = tv.glow[r]
+            elif mt[r] == M.FOG:
+                v = tv.diffuse[r]
+            else:
+                v = tv.emissive[r]
+            te0 = jnp.where(m, v[0], te0)
+            te1 = jnp.where(m, v[1], te1)
+            te2 = jnp.where(m, v[2], te2)
+        Lx = Lx + Tx * (te0 * se)
+        Ly = Ly + Ty * (te1 * se)
+        Lz = Lz + Tz * (te2 * se)
+        Tx = Tx * (tc0 * s + k)
+        Ty = Ty * (tc1 * s + k)
+        Tz = Tz * (tc2 * s + k)
+    n2 = Lx * Lx + Ly * Ly + Lz * Lz
+    norm = jnp.sqrt(jnp.maximum(n2, 1e-20))
+    clampm = p_light & (norm > cfg.light_clamp)
+    sc = jnp.where(clampm, cfg.light_clamp / norm, 1.0)
+    return Lx * sc, Ly * sc, Lz * sc
+
+
 def make_fused_loss_grad_fn(scene_pack, camera, cfg,
                             fields=("diffuse", "emissive"),
                             block_rows: int = DEFAULT_BLOCK_ROWS,
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            remat: bool = True,
+                            affine: bool | None = None):
     """ONE kernel per band: dual-buffer loss AND parameter gradient.
 
     The dual-buffer product loss has analytically-known radiance
@@ -440,6 +501,27 @@ def make_fused_loss_grad_fn(scene_pack, camera, cfg,
     2 traces (fwd kernels) + 2 re-traces + 2 adjoints (bwd kernels).
     Per-lane residuals never touch HBM; the kernel's only outputs are the
     SMEM-accumulated loss, P gradients, and segment count.
+
+    Backward constructions, fastest applicable chosen automatically:
+
+    * ``affine`` (default when every field is radiometric —
+      diffuse/emissive/glow): the kernel traces both buffers in
+      ``defer_all`` mode (the per-depth affine slot planes stay in
+      VMEM/registers), folds radiance in-kernel over the traced table
+      columns (:func:`_fold_slots`), and ``jax.vjp``s ONLY that tiny
+      fold.  The trace never enters the AD graph — path geometry cannot
+      depend on radiometric values — so the backward is D steps of
+      multiply-adds plus the per-parameter reductions.
+    * ``remat=True``: checkpoints the general adjoint at bounce
+      boundaries — the forward saves only per-bounce float state
+      (pallas_path.PATH_FLOAT_KEYS) and the backward re-traces ONE
+      bounce at a time, vjp-ing it against the incoming state cotangent
+      (bounds the live set vs. the whole-chain vjp).  Required for
+      scalar fields that bend rays (param/ior/reflectivity/frost).
+    * ``remat=False``: whole-chain in-kernel vjp (the r4 form).
+
+    All three produce identical gradients up to float re-association
+    (pinned in tests/test_pallas_grad.py).
 
     The loss pairs SAMPLES (lane-level products, mean over lanes×channels)
     instead of spp-averaged pixels — an equally unbiased estimator of the
@@ -464,6 +546,13 @@ def make_fused_loss_grad_fn(scene_pack, camera, cfg,
     raygen = build_fused_raygen(cam, cfg)
     P = param_count(mats, fields)
     f32 = jnp.float32
+    FK = PATH_FLOAT_KEYS
+    D = cfg.effective_depth
+    radiometric_only = set(fields) <= RADIOMETRIC_FIELDS
+    if affine and not radiometric_only:
+        raise ValueError(f"affine backward needs radiometric fields, "
+                         f"got {fields}")
+    use_affine = radiometric_only if affine is None else affine
 
     def kernel(pv_ref, h0_ref, s0a_ref, s0b_ref, l0_ref, n_ref,
                tx_ref, ty_ref, tz_ref, loss_ref, g_ref, seg_ref):
@@ -471,30 +560,109 @@ def make_fused_loss_grad_fn(scene_pack, camera, cfg,
         shape = tx_ref.shape
         pvals = [pv_ref[i] for i in range(P)]
 
-        def make_f(s0):
-            sx, sy, sz, dx, dy, dz, pix_i, smp_i = raygen(
-                h0_ref[0], s0, l0_ref[0], shape, pid)
-            h0_i = jnp.full(shape, h0_ref[0], jnp.int32)
+        if use_affine:
+            core = build_path_core(scene, mats, cfg, sky_idx, cam.z_far,
+                                   ops=MosaicOps, defer_all=True,
+                                   want_aovs=False)
 
-            def f(*pv):
+            def trace_one(s0):
+                sx, sy, sz, dx, dy, dz, pix_i, smp_i = raygen(
+                    h0_ref[0], s0, l0_ref[0], shape, pid)
+                h0_i = jnp.full(shape, h0_ref[0], jnp.int32)
+                slots, p_light, _nx, _ny, _nz, _d, _m, seg = core(
+                    h0_i, sx, sy, sz, dx, dy, dz, pix_i, smp_i)
+                return slots, p_light, seg
+
+            slotsA, plA, segA = trace_one(s0a_ref[0])
+            slotsB, plB, segB = trace_one(s0b_ref[0])
+            segc = segA + segB
+
+            def fold6(*pv):
                 tv = _TableView(mats, fields, list(pv))
-                core = build_path_core(scene, mats, cfg, sky_idx, cam.z_far,
-                                       ops=MosaicOps, tmats=tv)
-                outs = core(h0_i, sx, sy, sz, dx, dy, dz, pix_i, smp_i)
-                return outs[0], outs[1], outs[2], outs[8]
+                la = _fold_slots(tv, mats, cfg, slotsA, plA)
+                lb = _fold_slots(tv, mats, cfg, slotsB, plB)
+                return (*la, *lb)
 
-            return f
+            (ax, ay, az, bx, by, bz), vjp = jax.vjp(fold6, *pvals)
+        elif remat:
+            def stepper(pv):
+                tv = _TableView(mats, fields, list(pv))
+                return build_path_core(scene, mats, cfg, sky_idx, cam.z_far,
+                                       ops=MosaicOps, tmats=tv,
+                                       return_stepper=True, want_aovs=False)
 
-        fa = make_f(s0a_ref[0])
-        fb = make_f(s0b_ref[0])
+            def forward_one(s0):
+                """Trace one buffer, saving every bounce-boundary state."""
+                sx, sy, sz, dx, dy, dz, pix_i, smp_i = raygen(
+                    h0_ref[0], s0, l0_ref[0], shape, pid)
+                h0_i = jnp.full(shape, h0_ref[0], jnp.int32)
+                init, stp, fin = stepper(pvals)
+                st = init(h0_i, sx, sy, sz, dx, dy, dz, pix_i, smp_i)
+                bnds = []
+                for d in range(D):
+                    bnds.append(st)
+                    st, _ = stp(d, st)
+                outs = fin(st, [])
+                return (outs[0], outs[1], outs[2], outs[8]), st, bnds
 
-        def f6(*pv):
-            ax, ay, az, sega = fa(*pv)
-            bx, by, bz, segb = fb(*pv)
-            return (ax, ay, az, bx, by, bz), sega + segb
+            def backward_one(cL, st_fin, bnds):
+                """Reverse sweep: re-trace + vjp one bounce at a time."""
+                _, _, fin0 = stepper(pvals)
 
-        (ax, ay, az, bx, by, bz), vjp, segc = jax.vjp(
-            f6, *pvals, has_aux=True)
+                def fin_f(fvals):
+                    s = dict(st_fin)
+                    s.update(zip(FK, fvals))
+                    o = fin0(s, [])
+                    return o[0], o[1], o[2]
+
+                _, vjp_fin = jax.vjp(
+                    fin_f, tuple(st_fin[k] for k in FK))
+                (cot,) = vjp_fin(cL)
+                gacc = [jnp.zeros((), f32)] * P
+                for d in reversed(range(D)):
+                    st_d = bnds[d]
+
+                    def step_f(pv, fvals, st_d=st_d, d=d):
+                        _, stp, _ = stepper(list(pv))
+                        s = dict(st_d)
+                        s.update(zip(FK, fvals))
+                        s2, _ = stp(d, s)
+                        return tuple(s2[k] for k in FK)
+
+                    _, vjp_d = jax.vjp(step_f, tuple(pvals),
+                                       tuple(st_d[k] for k in FK))
+                    cpv, cot = vjp_d(tuple(cot))
+                    gacc = [g + c for g, c in zip(gacc, cpv)]
+                return gacc
+
+            (ax, ay, az, sega), stA, bndA = forward_one(s0a_ref[0])
+            (bx, by, bz, segb), stB, bndB = forward_one(s0b_ref[0])
+            segc = sega + segb
+        else:
+            def make_f(s0):
+                sx, sy, sz, dx, dy, dz, pix_i, smp_i = raygen(
+                    h0_ref[0], s0, l0_ref[0], shape, pid)
+                h0_i = jnp.full(shape, h0_ref[0], jnp.int32)
+
+                def f(*pv):
+                    tv = _TableView(mats, fields, list(pv))
+                    core = build_path_core(scene, mats, cfg, sky_idx,
+                                           cam.z_far, ops=MosaicOps, tmats=tv)
+                    outs = core(h0_i, sx, sy, sz, dx, dy, dz, pix_i, smp_i)
+                    return outs[0], outs[1], outs[2], outs[8]
+
+                return f
+
+            fa = make_f(s0a_ref[0])
+            fb = make_f(s0b_ref[0])
+
+            def f6(*pv):
+                ax, ay, az, sega = fa(*pv)
+                bx, by, bz, segb = fb(*pv)
+                return (ax, ay, az, bx, by, bz), sega + segb
+
+            (ax, ay, az, bx, by, bz), vjp, segc = jax.vjp(
+                f6, *pvals, has_aux=True)
 
         # Pad-lane mask (the band tail rounds up to block granularity).
         row_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -506,7 +674,14 @@ def make_fused_loss_grad_fn(scene_pack, camera, cfg,
         rxa, rya, rza = ax - tx, ay - ty, az - tz
         rxb, ryb, rzb = bx - tx, by - ty, bz - tz
         loss_blk = jnp.sum(w * (rxa * rxb + rya * ryb + rza * rzb))
-        gs = vjp((rxb * w, ryb * w, rzb * w, rxa * w, rya * w, rza * w))
+        if use_affine:
+            gs = vjp((rxb * w, ryb * w, rzb * w, rxa * w, rya * w, rza * w))
+        elif remat:
+            gA = backward_one((rxb * w, ryb * w, rzb * w), stA, bndA)
+            gB = backward_one((rxa * w, rya * w, rza * w), stB, bndB)
+            gs = [a + b for a, b in zip(gA, gB)]
+        else:
+            gs = vjp((rxb * w, ryb * w, rzb * w, rxa * w, rya * w, rza * w))
         seg_blk = jnp.sum(jnp.where(lane < n_ref[0], segc, 0))
 
         first = pid == 0

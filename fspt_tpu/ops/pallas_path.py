@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fspt_tpu import materials as M
+from fspt_tpu.ops import rng as rng_mod
 from fspt_tpu.ops.pallas_trace import (
     HostScene,
     LANE,
@@ -175,15 +176,39 @@ def _refract(vx, vy, vz, nx, ny, nz, index):
             jnp.where(tir, zero, rz))
 
 
+#: Differentiable per-lane float state keys of the path stepper, in chain
+#: order.  The per-bounce-remat backward (ops/pallas_grad.py) vjps each
+#: bounce w.r.t. exactly these; everything else in the state dict is
+#: discrete (masks, ids, RNG words) and carries no cotangent.
+PATH_FLOAT_KEYS = (
+    "Lx", "Ly", "Lz", "Tx", "Ty", "Tz",
+    "sx", "sy", "sz", "dx", "dy", "dz",
+    "f_fx", "f_fy", "f_fz", "f_dx", "f_dy", "f_dz", "f_dens", "f_u",
+)
+
+
 def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                     z_far_default: float, ops=MosaicOps, tmats=None,
                     intersect=None, deferred_tex: bool = False,
-                    defer_all: bool = False):
+                    defer_all: bool = False, return_stepper: bool = False,
+                    want_aovs: bool = True):
     """Build the path-tracing body as a pure array function.
 
     ``core(h0_i32, sx, sy, sz, dx, dy, dz, pix_i32, smp_i32) →
     (Lx, Ly, Lz, aov_nx, aov_ny, aov_nz, aov_depth, aov_mat, segcnt)``
     over arrays of any (broadcast-compatible) shape.
+
+    With ``return_stepper=True`` the same body is exposed as a
+    state-passing triple ``(init, step, finalize)``:
+    ``init(h0_i32, sx..dz, pix_i32, smp_i32) → state`` (a flat dict),
+    ``step(depth, state) → (state, slot_or_None)`` traces ONE bounce, and
+    ``finalize(state, slots) → outputs`` applies the fast-render terminal
+    and the depth-0 light clamp.  ``core`` is exactly
+    ``finalize(loop(step, init(...)))`` — the stepper exists so a
+    checkpointed backward can save only bounce-boundary states and
+    re-trace one bounce at a time (ops/pallas_grad.py per-bounce remat).
+    ``want_aovs=False`` skips the AOV bookkeeping inside ``step`` (the
+    loss-only gradient kernels never read it; keeps their traces lean).
 
     * ``ops`` supplies the bitcast primitives (MosaicOps inside a Pallas
       kernel, XlaOps for the planar replay).
@@ -237,314 +262,374 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
     # SampleSky ×3 (scene.cpp:157-162)
     sky_textured = deferred_tex and int(mats.tex_id[sky_idx]) >= 0
     material_rows = list(range(mats.count))
+    # Edge-reparameterized silhouette gradients (integrator.py:171-201
+    # parity): active when the custom intersect advertises an edge-distance
+    # output and cfg asks for it.  Only the non-deferred body supports it
+    # (the planar recorded replay is its consumer).
+    edge_eps = float(getattr(cfg, "edge_eps", 0.0) or 0.0)
+    returns_edge = getattr(intersect, "has_edge_dist", False)
+    use_edge = edge_eps > 0.0 and returns_edge
+    if use_edge and deferred_tex:
+        raise ValueError("edge reparameterization needs the non-deferred "
+                         "path body")
 
-    def core(h0_i32, sx, sy, sz, dx, dy, dz, pix_i32, smp_i32):
+    def init(h0_i32, sx, sy, sz, dx, dy, dz, pix_i32, smp_i32):
         pix = ops.to_u32(pix_i32)
         smp = ops.to_u32(smp_i32)
         h0 = ops.to_u32(h0_i32)
 
         zero = jnp.zeros_like(sx)
         one = jnp.ones_like(sx)
-        Lx = Ly = Lz = zero
-        Tx = Ty = Tz = one
-        alive = jnp.ones(sx.shape, bool)
-        segcnt = jnp.zeros(sx.shape, jnp.int32)
+        return dict(
+            sx=sx, sy=sy, sz=sz, dx=dx, dy=dy, dz=dz,
+            Lx=zero, Ly=zero, Lz=zero, Tx=one, Ty=one, Tz=one,
+            alive=jnp.ones(sx.shape, bool),
+            segcnt=jnp.zeros(sx.shape, jnp.int32),
+            f_active=jnp.zeros(sx.shape, bool),
+            f_fx=zero, f_fy=zero, f_fz=zero,  # fog scatter origin
+            f_dx=zero, f_dy=zero, f_dz=zero,  # fog diffuse color
+            f_dens=zero, f_u=zero,
+            f_row=jnp.full(sx.shape, -1, jnp.int32),  # fog material row
+            aov_nx=zero, aov_ny=zero, aov_nz=zero, aov_d=zero,
+            aov_m=jnp.full(sx.shape, sky_idx, jnp.int32),
+            p_light=jnp.zeros(sx.shape, bool),
+            pix=pix, smp=smp, h0=h0,
+        )
 
-        f_active = jnp.zeros(sx.shape, bool)
-        f_fx = f_fy = f_fz = zero  # fog scatter origin
-        f_dx = f_dy = f_dz = zero  # fog diffuse color
-        f_dens = zero
-        f_u = zero
-        f_row = jnp.full(sx.shape, -1, jnp.int32)  # fog material row
+    def step(depth, st):
+        sx, sy, sz = st["sx"], st["sy"], st["sz"]
+        dx, dy, dz = st["dx"], st["dy"], st["dz"]
+        Lx, Ly, Lz = st["Lx"], st["Ly"], st["Lz"]
+        Tx, Ty, Tz = st["Tx"], st["Ty"], st["Tz"]
+        alive = st["alive"]
+        f_active = st["f_active"]
+        f_fx, f_fy, f_fz = st["f_fx"], st["f_fy"], st["f_fz"]
+        f_dx, f_dy, f_dz = st["f_dx"], st["f_dy"], st["f_dz"]
+        f_dens, f_u, f_row = st["f_dens"], st["f_u"], st["f_row"]
+        aov_nx, aov_ny, aov_nz = st["aov_nx"], st["aov_ny"], st["aov_nz"]
+        aov_d, aov_m, p_light = st["aov_d"], st["aov_m"], st["p_light"]
+        pix, smp, h0 = st["pix"], st["smp"], st["h0"]
+        zero = jnp.zeros_like(sx)
+        one = jnp.ones_like(sx)
 
-        aov_nx = aov_ny = aov_nz = zero
-        aov_d = zero
-        aov_m = jnp.full(sx.shape, sky_idx, jnp.int32)
-        p_light = jnp.zeros(sx.shape, bool)
-        slots = []
+        segcnt = st["segcnt"] + alive.astype(jnp.int32)
 
-        for depth in range(depth_count):
-            segcnt = segcnt + alive.astype(jnp.int32)
+        # Texture-deferred affine-transfer structure for this depth.
+        # k defaults to 1 so inactive lanes keep their throughput in the
+        # fold (the in-kernel form guards with `where(active, T*c, T)`).
+        sl_s = zero
+        sl_k0 = sl_k1 = sl_k2 = one
+        sl_se = zero
+        sl_ke0 = sl_ke1 = sl_ke2 = zero
+        sl_u = sl_v = zero
+        sl_mat = jnp.full(sx.shape, -1, jnp.int32)
+        sl_mat_e = jnp.full(sx.shape, -1, jnp.int32)  # defer_all bias row
 
-            # Texture-deferred affine-transfer structure for this depth.
-            # k defaults to 1 so inactive lanes keep their throughput in the
-            # fold (the in-kernel form guards with `where(active, T*c, T)`).
-            sl_s = zero
-            sl_k0 = sl_k1 = sl_k2 = one
-            sl_se = zero
-            sl_ke0 = sl_ke1 = sl_ke2 = zero
-            sl_u = sl_v = zero
-            sl_mat = jnp.full(sx.shape, -1, jnp.int32)
-            sl_mat_e = jnp.full(sx.shape, -1, jnp.int32)  # defer_all bias row
-
-            # Note: a whole-block early-exit (lax.cond around the intersect
-            # once every lane is dead) was measured 15% SLOWER than straight-
-            # line code at 4spp Cornell — the branch is an optimization
-            # barrier and blocks rarely go fully dead.  Keep it branchless.
+        # Note: a whole-block early-exit (lax.cond around the intersect
+        # once every lane is dead) was measured 15% SLOWER than straight-
+        # line code at 4spp Cornell — the branch is an optimization
+        # barrier and blocks rarely go fully dead.  Keep it branchless.
+        if returns_edge:
+            (t, hnx, hny, hnz, hmat, hkind, huu, hvv, hedge) = intersect(
+                sx, sy, sz, dx, dy, dz)
+        else:
             t, hnx, hny, hnz, hmat, hkind, huu, hvv = intersect(
                 sx, sy, sz, dx, dy, dz
             )
-            hit = t < INVALID_PARAM
-            px, py, pz = sx + dx * t, sy + dy * t, sz + dz * t
+        hit = t < INVALID_PARAM
+        px, py, pz = sx + dx * t, sy + dy * t, sz + dz * t
 
-            # Backface flip (scene.cpp:238-247): start behind the hit plane.
-            side = hnx * (sx - px) + hny * (sy - py) + hnz * (sz - pz)
-            flip = side < 0.0
-            hnx = jnp.where(flip, -hnx, hnx)
-            hny = jnp.where(flip, -hny, hny)
-            hnz = jnp.where(flip, -hnz, hnz)
+        # Backface flip (scene.cpp:238-247): start behind the hit plane.
+        side = hnx * (sx - px) + hny * (sy - py) + hnz * (sz - pz)
+        flip = side < 0.0
+        hnx = jnp.where(flip, -hnx, hnx)
+        hny = jnp.where(flip, -hny, hny)
+        hnz = jnp.where(flip, -hnz, hnz)
 
-            # Depth-0 fog resolution one bounce later (material.cpp:330-337).
-            if depth >= 1:
-                lpx = jnp.where(hit, px, sx + dx)
-                lpy = jnp.where(hit, py, sy + dy)
-                lpz = jnp.where(hit, pz, sz + dz)
-                ddx, ddy, ddz = lpx - f_fx, lpy - f_fy, lpz - f_fz
-                dist2 = ddx * ddx + ddy * ddy + ddz * ddz
-                thresh = jnp.clip(dist2 * f_dens * 0.00005, 0.0, 1.0)
-                absorbed = f_active & (f_u < thresh) & alive
-                if defer_all:
-                    # Fog bias event: value = diffuse[fog row] (the row's
-                    # bias column is diffuse — static by material kind).
-                    sl_se = jnp.where(absorbed, one, sl_se)
-                    sl_mat_e = jnp.where(absorbed, f_row, sl_mat_e)
-                elif deferred_tex:
-                    # Fog bias event: ke = fog diffuse (never textured;
-                    # shade_planar fdx parity).
-                    sl_ke0 = jnp.where(absorbed, f_dx, sl_ke0)
-                    sl_ke1 = jnp.where(absorbed, f_dy, sl_ke1)
-                    sl_ke2 = jnp.where(absorbed, f_dz, sl_ke2)
-                else:
-                    Lx = Lx + jnp.where(absorbed, Tx * f_dx, 0.0)
-                    Ly = Ly + jnp.where(absorbed, Ty * f_dy, 0.0)
-                    Lz = Lz + jnp.where(absorbed, Tz * f_dz, 0.0)
-                alive = alive & ~absorbed
-                f_active = jnp.zeros_like(f_active)
-
-            # Miss → sky (engine.cpp:92-101).
-            miss = alive & ~hit
+        # Depth-0 fog resolution one bounce later (material.cpp:330-337).
+        if depth >= 1:
+            lpx = jnp.where(hit, px, sx + dx)
+            lpy = jnp.where(hit, py, sy + dy)
+            lpz = jnp.where(hit, pz, sz + dz)
+            ddx, ddy, ddz = lpx - f_fx, lpy - f_fy, lpz - f_fz
+            dist2 = ddx * ddx + ddy * ddy + ddz * ddz
+            thresh = jnp.clip(dist2 * f_dens * 0.00005, 0.0, 1.0)
+            absorbed = f_active & (f_u < thresh) & alive
             if defer_all:
-                # Sky bias event: value = emissive[sky] ×3 (scene.cpp:
-                # 157-162), or the sky texture sample when textured.
-                sl_se = jnp.where(miss, 3.0, sl_se)
-                sl_mat_e = jnp.where(miss, sky_idx, sl_mat_e)
-                if sky_textured:
-                    mvx, mvy, mvz = _norm3(dx, dy, dz)
-                    sku = _atan2(mvx, mvz) / (2.0 * vm.PI) + 0.5
-                    skv = 1.0 - (mvy * 0.5 + 0.5)
-                    sl_u = jnp.where(miss, sku, sl_u)
-                    sl_v = jnp.where(miss, skv, sl_v)
-            elif deferred_tex and sky_textured:
-                # Textured sky: se=3 and sphere-map uv of the view direction
-                # (scene.cpp:157-162, intersect.cpp:779-784).
+                # Fog bias event: value = diffuse[fog row] (the row's
+                # bias column is diffuse — static by material kind).
+                sl_se = jnp.where(absorbed, one, sl_se)
+                sl_mat_e = jnp.where(absorbed, f_row, sl_mat_e)
+            elif deferred_tex:
+                # Fog bias event: ke = fog diffuse (never textured;
+                # shade_planar fdx parity).
+                sl_ke0 = jnp.where(absorbed, f_dx, sl_ke0)
+                sl_ke1 = jnp.where(absorbed, f_dy, sl_ke1)
+                sl_ke2 = jnp.where(absorbed, f_dz, sl_ke2)
+            else:
+                Lx = Lx + jnp.where(absorbed, Tx * f_dx, 0.0)
+                Ly = Ly + jnp.where(absorbed, Ty * f_dy, 0.0)
+                Lz = Lz + jnp.where(absorbed, Tz * f_dz, 0.0)
+            alive = alive & ~absorbed
+            f_active = jnp.zeros_like(f_active)
+
+        # Miss → sky (engine.cpp:92-101).
+        miss = alive & ~hit
+        if defer_all:
+            # Sky bias event: value = emissive[sky] ×3 (scene.cpp:
+            # 157-162), or the sky texture sample when textured.
+            sl_se = jnp.where(miss, 3.0, sl_se)
+            sl_mat_e = jnp.where(miss, sky_idx, sl_mat_e)
+            if sky_textured:
                 mvx, mvy, mvz = _norm3(dx, dy, dz)
                 sku = _atan2(mvx, mvz) / (2.0 * vm.PI) + 0.5
                 skv = 1.0 - (mvy * 0.5 + 0.5)
-                sl_se = jnp.where(miss, 3.0, sl_se)
                 sl_u = jnp.where(miss, sku, sl_u)
                 sl_v = jnp.where(miss, skv, sl_v)
-                sl_mat = jnp.where(miss, sky_idx, sl_mat)
-            elif deferred_tex:
-                sl_ke0 = jnp.where(miss, sky_e0 * one, sl_ke0)
-                sl_ke1 = jnp.where(miss, sky_e1 * one, sl_ke1)
-                sl_ke2 = jnp.where(miss, sky_e2 * one, sl_ke2)
-            else:
-                Lx = Lx + jnp.where(miss, Tx * sky_e0, 0.0)
-                Ly = Ly + jnp.where(miss, Ty * sky_e1, 0.0)
-                Lz = Lz + jnp.where(miss, Tz * sky_e2, 0.0)
+        elif deferred_tex and sky_textured:
+            # Textured sky: se=3 and sphere-map uv of the view direction
+            # (scene.cpp:157-162, intersect.cpp:779-784).
+            mvx, mvy, mvz = _norm3(dx, dy, dz)
+            sku = _atan2(mvx, mvz) / (2.0 * vm.PI) + 0.5
+            skv = 1.0 - (mvy * 0.5 + 0.5)
+            sl_se = jnp.where(miss, 3.0, sl_se)
+            sl_u = jnp.where(miss, sku, sl_u)
+            sl_v = jnp.where(miss, skv, sl_v)
+            sl_mat = jnp.where(miss, sky_idx, sl_mat)
+        elif deferred_tex:
+            sl_ke0 = jnp.where(miss, sky_e0 * one, sl_ke0)
+            sl_ke1 = jnp.where(miss, sky_e1 * one, sl_ke1)
+            sl_ke2 = jnp.where(miss, sky_e2 * one, sl_ke2)
+        else:
+            Lx = Lx + jnp.where(miss, Tx * sky_e0, 0.0)
+            Ly = Ly + jnp.where(miss, Ty * sky_e1, 0.0)
+            Lz = Lz + jnp.where(miss, Tz * sky_e2, 0.0)
 
-            active = alive & hit
+        active = alive & hit
 
-            # View vector (engine.cpp:114) == normalized segment direction.
-            vx, vy, vz = _norm3(px - sx, py - sy, pz - sz)
+        # View vector (engine.cpp:114) == normalized segment direction.
+        vx, vy, vz = _norm3(px - sx, py - sy, pz - sz)
 
-            # Per-bounce uniforms, same counter layout as ops/rng.py.
-            base = 16 + depth * cfg.bounce_slots
-            u0 = _stream_uniform(ops, h0, pix, smp, base + 0)
-            u1 = _stream_uniform(ops, h0, pix, smp, base + 1)
-            u2 = _stream_uniform(ops, h0, pix, smp, base + 2)
-            u3 = _stream_uniform(ops, h0, pix, smp, base + 3)
+        # Per-bounce uniforms, same counter layout as ops/rng.py.
+        base = 16 + depth * cfg.bounce_slots
+        u0 = _stream_uniform(ops, h0, pix, smp, base + 0)
+        u1 = _stream_uniform(ops, h0, pix, smp, base + 1)
+        u2 = _stream_uniform(ops, h0, pix, smp, base + 2)
+        u3 = _stream_uniform(ops, h0, pix, smp, base + 3)
 
-            # Shared sampling vectors.
-            ndv = hnx * vx + hny * vy + hnz * vz
-            rx, ry, rz = vx - 2.0 * ndv * hnx, vy - 2.0 * ndv * hny, vz - 2.0 * ndv * hnz
-            gx, gy, gz = _sphere_dir(u1, u2)
-            gdot = gx * hnx + gy * hny + gz * hnz
-            gx = jnp.where(gdot < 0.0, -gx, gx)
-            gy = jnp.where(gdot < 0.0, -gy, gy)
-            gz = jnp.where(gdot < 0.0, -gz, gz)
+        # Shared sampling vectors.
+        ndv = hnx * vx + hny * vy + hnz * vz
+        rx, ry, rz = vx - 2.0 * ndv * hnx, vy - 2.0 * ndv * hny, vz - 2.0 * ndv * hnz
+        gx, gy, gz = _sphere_dir(u1, u2)
+        gdot = gx * hnx + gy * hny + gz * hnz
+        gx = jnp.where(gdot < 0.0, -gx, gx)
+        gy = jnp.where(gdot < 0.0, -gy, gy)
+        gz = jnp.where(gdot < 0.0, -gz, gz)
 
-            def lerped(amount):
-                ox = gx * amount + rx * (1.0 - amount)
-                oy = gy * amount + ry * (1.0 - amount)
-                oz = gz * amount + rz * (1.0 - amount)
-                ox, oy, oz = _norm3(ox, oy, oz)
-                d = ox * hnx + oy * hny + oz * hnz
-                return (jnp.where(d < 0.0, -ox, ox), jnp.where(d < 0.0, -oy, oy),
-                        jnp.where(d < 0.0, -oz, oz))
+        def lerped(amount):
+            ox = gx * amount + rx * (1.0 - amount)
+            oy = gy * amount + ry * (1.0 - amount)
+            oz = gz * amount + rz * (1.0 - amount)
+            ox, oy, oz = _norm3(ox, oy, oz)
+            d = ox * hnx + oy * hny + oz * hnz
+            return (jnp.where(d < 0.0, -ox, ox), jnp.where(d < 0.0, -oy, oy),
+                    jnp.where(d < 0.0, -oz, oz))
 
-            # Accumulators merged per used material.
-            bx = by = bz = zero  # direction
-            cx = cy = cz = zero  # coef
-            ex = ey = ez = zero  # bias
-            will = jnp.zeros(sx.shape, bool)
-            is_light_m = jnp.zeros(sx.shape, bool)
-            is_fog_m = jnp.zeros(sx.shape, bool)
-            fog_dens_m = zero
-            fog_cx = fog_cy = fog_cz = zero
+        # Accumulators merged per used material.
+        bx = by = bz = zero  # direction
+        cx = cy = cz = zero  # coef
+        ex = ey = ez = zero  # bias
+        will = jnp.zeros(sx.shape, bool)
+        is_light_m = jnp.zeros(sx.shape, bool)
+        is_fog_m = jnp.zeros(sx.shape, bool)
+        fog_dens_m = zero
+        fog_cx = fog_cy = fog_cz = zero
 
-            for mrow in material_rows:
-                msk = active & (hmat == mrow)
-                mtype = int(mats.mtype[mrow])
-                tex_row = deferred_tex and int(mats.tex_id[mrow]) >= 0
-                dsk = None  # deferred (s, k0, k1, k2) for textured coef rows
-                dif = tmats.diffuse[mrow]
-                d0, d1, d2 = dif[0], dif[1], dif[2]
+        for mrow in material_rows:
+            msk = active & (hmat == mrow)
+            mtype = int(mats.mtype[mrow])
+            tex_row = deferred_tex and int(mats.tex_id[mrow]) >= 0
+            dsk = None  # deferred (s, k0, k1, k2) for textured coef rows
+            dif = tmats.diffuse[mrow]
+            d0, d1, d2 = dif[0], dif[1], dif[2]
 
-                if mtype == M.LIGHT:
+            if mtype == M.LIGHT:
+                if defer_all:
+                    # Bias event: value = emissive[mrow] (or the row's
+                    # emission texture — resolved by the fold's static
+                    # per-row column map).
+                    sl_se = jnp.where(msk, 1.0, sl_se)
+                    sl_mat_e = jnp.where(msk, mrow, sl_mat_e)
+                elif tex_row:
+                    # Textured emission: bias = tex (material.cpp:38-44).
+                    sl_se = jnp.where(msk, 1.0, sl_se)
+                else:
+                    em = tmats.emissive[mrow]
+                    ex = jnp.where(msk, em[0] * one, ex)
+                    ey = jnp.where(msk, em[1] * one, ey)
+                    ez = jnp.where(msk, em[2] * one, ez)
+                is_light_m = is_light_m | msk
+                continue
+
+            if mtype == M.DIFFUSE:
+                ox, oy, oz = gx, gy, gz  # lobe = full hemisphere
+                ndl = ox * hnx + oy * hny + oz * hnz
+                w = ndl > M.DIFFUSE_CONTRIB_THRESHOLD
+                nl = jnp.maximum(ndl, 0.0)
+                ccx, ccy, ccz = d0 * nl, d1 * nl, d2 * nl
+                if tex_row or defer_all:
+                    dsk = (nl, zero, zero, zero)
+            elif mtype == M.METAL:
+                rough = tmats.param[mrow]
+                rough_s = float(mats.param[mrow])  # static lobe regime
+                ox, oy, oz = lerped(rough)
+                ndl = ox * hnx + oy * hny + oz * hnz
+                w = (rough_s <= M.DIFFUSE_ROUGHNESS_THRESHOLD) | (
+                    ndl > M.DIFFUSE_CONTRIB_THRESHOLD)
+                nl = jnp.maximum(ndl, 0.0)
+                f = rough * nl + (1.0 - rough)
+                ccx, ccy, ccz = d0 * f, d1 * f, d2 * f
+                if tex_row or defer_all:
+                    dsk = (f, zero, zero, zero)
+            elif mtype == M.MIRROR:
+                ox, oy, oz = rx, ry, rz
+                w = jnp.ones_like(msk)
+                ccx, ccy, ccz = d0 * one, d1 * one, d2 * one
+                if defer_all:
+                    dsk = (one, zero, zero, zero)
+            elif mtype in (M.CERAMIC, M.GLOW):
+                shin = tmats.param[mrow]
+                amount = jnp.where(u0 < M.CERAMIC_SPIKE_PROB, 0.0, 1.0 - shin)
+                ox, oy, oz = lerped(amount)
+                ndl = ox * hnx + oy * hny + oz * hnz
+                nl = jnp.maximum(ndl, 0.0)
+                hx, hy, hz = _norm3(ox - vx, oy - vy, oz - vz)
+                hn = hx * hnx + hy * hny + hz * hnz
+                spec = _pow25(hn * hn)
+                ccx = spec + d0 * nl * (1.0 - spec)
+                ccy = spec + d1 * nl * (1.0 - spec)
+                ccz = spec + d2 * nl * (1.0 - spec)
+                w = jnp.ones_like(msk)
+                if tex_row or defer_all:
+                    dsk = (nl * (1.0 - spec), spec, spec, spec)
+                if mtype == M.GLOW:
                     if defer_all:
-                        # Bias event: value = emissive[mrow] (or the row's
-                        # emission texture — resolved by the fold's static
-                        # per-row column map).
+                        # Bias event: value = glow[mrow] (static column).
                         sl_se = jnp.where(msk, 1.0, sl_se)
                         sl_mat_e = jnp.where(msk, mrow, sl_mat_e)
-                    elif tex_row:
-                        # Textured emission: bias = tex (material.cpp:38-44).
-                        sl_se = jnp.where(msk, 1.0, sl_se)
                     else:
-                        em = tmats.emissive[mrow]
-                        ex = jnp.where(msk, em[0] * one, ex)
-                        ey = jnp.where(msk, em[1] * one, ey)
-                        ez = jnp.where(msk, em[2] * one, ez)
-                    is_light_m = is_light_m | msk
-                    continue
-
-                if mtype == M.DIFFUSE:
-                    ox, oy, oz = gx, gy, gz  # lobe = full hemisphere
-                    ndl = ox * hnx + oy * hny + oz * hnz
-                    w = ndl > M.DIFFUSE_CONTRIB_THRESHOLD
-                    nl = jnp.maximum(ndl, 0.0)
-                    ccx, ccy, ccz = d0 * nl, d1 * nl, d2 * nl
-                    if tex_row or defer_all:
-                        dsk = (nl, zero, zero, zero)
-                elif mtype == M.METAL:
-                    rough = tmats.param[mrow]
-                    rough_s = float(mats.param[mrow])  # static lobe regime
-                    ox, oy, oz = lerped(rough)
-                    ndl = ox * hnx + oy * hny + oz * hnz
-                    w = (rough_s <= M.DIFFUSE_ROUGHNESS_THRESHOLD) | (
-                        ndl > M.DIFFUSE_CONTRIB_THRESHOLD)
-                    nl = jnp.maximum(ndl, 0.0)
-                    f = rough * nl + (1.0 - rough)
-                    ccx, ccy, ccz = d0 * f, d1 * f, d2 * f
-                    if tex_row or defer_all:
-                        dsk = (f, zero, zero, zero)
-                elif mtype == M.MIRROR:
-                    ox, oy, oz = rx, ry, rz
-                    w = jnp.ones_like(msk)
-                    ccx, ccy, ccz = d0 * one, d1 * one, d2 * one
-                    if defer_all:
-                        dsk = (one, zero, zero, zero)
-                elif mtype in (M.CERAMIC, M.GLOW):
-                    shin = tmats.param[mrow]
-                    amount = jnp.where(u0 < M.CERAMIC_SPIKE_PROB, 0.0, 1.0 - shin)
-                    ox, oy, oz = lerped(amount)
-                    ndl = ox * hnx + oy * hny + oz * hnz
-                    nl = jnp.maximum(ndl, 0.0)
-                    hx, hy, hz = _norm3(ox - vx, oy - vy, oz - vz)
-                    hn = hx * hnx + hy * hny + hz * hnz
-                    spec = _pow25(hn * hn)
-                    ccx = spec + d0 * nl * (1.0 - spec)
-                    ccy = spec + d1 * nl * (1.0 - spec)
-                    ccz = spec + d2 * nl * (1.0 - spec)
-                    w = jnp.ones_like(msk)
-                    if tex_row or defer_all:
-                        dsk = (nl * (1.0 - spec), spec, spec, spec)
-                    if mtype == M.GLOW:
-                        if defer_all:
-                            # Bias event: value = glow[mrow] (static column).
-                            sl_se = jnp.where(msk, 1.0, sl_se)
-                            sl_mat_e = jnp.where(msk, mrow, sl_mat_e)
-                        else:
-                            gl = tmats.glow[mrow]
-                            ex = jnp.where(msk, gl[0] * one, ex)
-                            ey = jnp.where(msk, gl[1] * one, ey)
-                            ez = jnp.where(msk, gl[2] * one, ez)
-                elif mtype == M.GLASS:
-                    refl = tmats.reflectivity[mrow]
-                    frost = tmats.frost[mrow]
-                    index = tmats.ior[mrow]
-                    index_s = float(mats.ior[mrow])
-                    frost_s = float(mats.frost[mrow])
-                    lrx, lry, lrz = lerped(frost)
-                    # random_refraction (normal.cpp:64-105); regimes are
-                    # static in the snapshot values.
-                    if abs(index_s - 1.0) < vm.EPSILON:
-                        fx0, fy0, fz0 = _norm3(vx, vy, vz)
-                    else:
-                        fx0, fy0, fz0 = _refract(vx, vy, vz, hnx, hny, hnz, index)
-                    sa_s = vm.PI * frost_s
-                    if abs(sa_s - vm.PI) < vm.EPSILON:
-                        qx, qy, qz = gx, gy, gz
-                    elif abs(sa_s) < vm.EPSILON:
-                        qx, qy, qz = fx0, fy0, fz0
-                    else:
-                        sa = vm.PI * frost
-                        delta = (u3 * 2.0 - 1.0) * (sa * 0.5)
-                        qx, qy, qz = _rotate(fx0, fy0, fz0, delta, gx, gy, gz)
-                    take_r = u0 < refl
-                    ox = jnp.where(take_r, lrx, qx)
-                    oy = jnp.where(take_r, lry, qy)
-                    oz = jnp.where(take_r, lrz, qz)
-                    w = jnp.ones_like(msk)
-                    ccx, ccy, ccz = d0 * one, d1 * one, d2 * one
-                    if defer_all:
-                        dsk = (one, zero, zero, zero)
-                elif mtype == M.LIQUID:
-                    refl = tmats.reflectivity[mrow]
-                    index = tmats.ior[mrow]
-                    qx, qy, qz = _refract(vx, vy, vz, hnx, hny, hnz, index)
-                    take_r = u0 < refl
-                    ox = jnp.where(take_r, rx, qx)
-                    oy = jnp.where(take_r, ry, qy)
-                    oz = jnp.where(take_r, rz, qz)
-                    w = jnp.ones_like(msk)
-                    ccx, ccy, ccz = d0 * one, d1 * one, d2 * one
-                    if defer_all:
-                        dsk = (one, zero, zero, zero)
-                elif mtype == M.FOG:
-                    ox, oy, oz = vx, vy, vz
-                    w = jnp.ones_like(msk)
-                    ccx, ccy, ccz = one, one, one
-                    is_fog_m = is_fog_m | msk
-                    fog_dens_m = jnp.where(msk, tmats.frost[mrow] * one, fog_dens_m)
-                    fog_cx = jnp.where(msk, d0 * one, fog_cx)
-                    fog_cy = jnp.where(msk, d1 * one, fog_cy)
-                    fog_cz = jnp.where(msk, d2 * one, fog_cz)
+                        gl = tmats.glow[mrow]
+                        ex = jnp.where(msk, gl[0] * one, ex)
+                        ey = jnp.where(msk, gl[1] * one, ey)
+                        ez = jnp.where(msk, gl[2] * one, ez)
+            elif mtype == M.GLASS:
+                refl = tmats.reflectivity[mrow]
+                frost = tmats.frost[mrow]
+                index = tmats.ior[mrow]
+                index_s = float(mats.ior[mrow])
+                frost_s = float(mats.frost[mrow])
+                lrx, lry, lrz = lerped(frost)
+                # random_refraction (normal.cpp:64-105); regimes are
+                # static in the snapshot values.
+                if abs(index_s - 1.0) < vm.EPSILON:
+                    fx0, fy0, fz0 = _norm3(vx, vy, vz)
                 else:
-                    raise ValueError(f"unknown material type {mtype}")
-
-                bx = jnp.where(msk, ox, bx)
-                by = jnp.where(msk, oy, by)
-                bz = jnp.where(msk, oz, bz)
-                if deferred_tex:
-                    if dsk is None:  # untextured coef: constant part only
-                        sl_k0 = jnp.where(msk, ccx, sl_k0)
-                        sl_k1 = jnp.where(msk, ccy, sl_k1)
-                        sl_k2 = jnp.where(msk, ccz, sl_k2)
-                    else:
-                        sv, kk0, kk1, kk2 = dsk
-                        sl_s = jnp.where(msk, sv, sl_s)
-                        sl_k0 = jnp.where(msk, kk0, sl_k0)
-                        sl_k1 = jnp.where(msk, kk1, sl_k1)
-                        sl_k2 = jnp.where(msk, kk2, sl_k2)
+                    fx0, fy0, fz0 = _refract(vx, vy, vz, hnx, hny, hnz, index)
+                sa_s = vm.PI * frost_s
+                if abs(sa_s - vm.PI) < vm.EPSILON:
+                    qx, qy, qz = gx, gy, gz
+                elif abs(sa_s) < vm.EPSILON:
+                    qx, qy, qz = fx0, fy0, fz0
                 else:
-                    cx = jnp.where(msk, ccx, cx)
-                    cy = jnp.where(msk, ccy, cy)
-                    cz = jnp.where(msk, ccz, cz)
-                will = will | (msk & w)
+                    sa = vm.PI * frost
+                    delta = (u3 * 2.0 - 1.0) * (sa * 0.5)
+                    qx, qy, qz = _rotate(fx0, fy0, fz0, delta, gx, gy, gz)
+                take_r = u0 < refl
+                ox = jnp.where(take_r, lrx, qx)
+                oy = jnp.where(take_r, lry, qy)
+                oz = jnp.where(take_r, lrz, qz)
+                w = jnp.ones_like(msk)
+                ccx, ccy, ccz = d0 * one, d1 * one, d2 * one
+                if defer_all:
+                    dsk = (one, zero, zero, zero)
+            elif mtype == M.LIQUID:
+                refl = tmats.reflectivity[mrow]
+                index = tmats.ior[mrow]
+                qx, qy, qz = _refract(vx, vy, vz, hnx, hny, hnz, index)
+                take_r = u0 < refl
+                ox = jnp.where(take_r, rx, qx)
+                oy = jnp.where(take_r, ry, qy)
+                oz = jnp.where(take_r, rz, qz)
+                w = jnp.ones_like(msk)
+                ccx, ccy, ccz = d0 * one, d1 * one, d2 * one
+                if defer_all:
+                    dsk = (one, zero, zero, zero)
+            elif mtype == M.FOG:
+                ox, oy, oz = vx, vy, vz
+                w = jnp.ones_like(msk)
+                ccx, ccy, ccz = one, one, one
+                is_fog_m = is_fog_m | msk
+                fog_dens_m = jnp.where(msk, tmats.frost[mrow] * one, fog_dens_m)
+                fog_cx = jnp.where(msk, d0 * one, fog_cx)
+                fog_cy = jnp.where(msk, d1 * one, fog_cy)
+                fog_cz = jnp.where(msk, d2 * one, fog_cz)
+            else:
+                raise ValueError(f"unknown material type {mtype}")
 
-            if depth == 0:
+            bx = jnp.where(msk, ox, bx)
+            by = jnp.where(msk, oy, by)
+            bz = jnp.where(msk, oz, bz)
+            if deferred_tex:
+                if dsk is None:  # untextured coef: constant part only
+                    sl_k0 = jnp.where(msk, ccx, sl_k0)
+                    sl_k1 = jnp.where(msk, ccy, sl_k1)
+                    sl_k2 = jnp.where(msk, ccz, sl_k2)
+                else:
+                    sv, kk0, kk1, kk2 = dsk
+                    sl_s = jnp.where(msk, sv, sl_s)
+                    sl_k0 = jnp.where(msk, kk0, sl_k0)
+                    sl_k1 = jnp.where(msk, kk1, sl_k1)
+                    sl_k2 = jnp.where(msk, kk2, sl_k2)
+            else:
+                cx = jnp.where(msk, ccx, cx)
+                cy = jnp.where(msk, ccy, cy)
+                cz = jnp.where(msk, ccz, cz)
+            will = will | (msk & w)
+
+        if use_edge:
+            # Edge reparameterization (integrator.py:171-201): sample the
+            # coverage blend stochastically — pass-through with prob
+            # 1−alpha — and carry ratio = alpha/sg(alpha) (value 1, the
+            # unbiased hard estimator; derivative ∂alpha/alpha, the
+            # boundary term hard selection drops).  Folding the ratio into
+            # (bias, coef) is the integrator's throughput·ratio in the
+            # core's L += T·e; T *= c order.
+            sg = jax.lax.stop_gradient
+            alpha = jnp.clip(hedge / edge_eps, 0.0, 1.0)
+            ue = _stream_uniform(ops, h0, pix, smp,
+                                 rng_mod.CTR_EDGE + depth)
+            pass_thru = active & (ue >= alpha)
+            keep = active & ~pass_thru
+            ratio = jnp.where(
+                pass_thru,
+                (1.0 - alpha) / jnp.maximum(sg(1.0 - alpha), 1e-6),
+                jnp.where(keep, alpha / jnp.maximum(sg(alpha), 1e-6), 1.0))
+            vdx, vdy, vdz = _norm3(dx, dy, dz)
+            bx = jnp.where(pass_thru, vdx, bx)
+            by = jnp.where(pass_thru, vdy, by)
+            bz = jnp.where(pass_thru, vdz, bz)
+            ex = jnp.where(pass_thru, 0.0, ex) * ratio
+            ey = jnp.where(pass_thru, 0.0, ey) * ratio
+            ez = jnp.where(pass_thru, 0.0, ez) * ratio
+            cx = jnp.where(pass_thru, 1.0, cx) * ratio
+            cy = jnp.where(pass_thru, 1.0, cy) * ratio
+            cz = jnp.where(pass_thru, 1.0, cz) * ratio
+            will = will | pass_thru
+            is_light_m = is_light_m & ~pass_thru
+            is_fog_m = is_fog_m & ~pass_thru
+
+        if depth == 0:
+            if want_aovs:
                 aov_nx = jnp.where(hit, hnx, dx)
                 aov_ny = jnp.where(hit, hny, dy)
                 aov_nz = jnp.where(hit, hnz, dz)
@@ -554,60 +639,84 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
                 aov_nz = jnp.where(hit, aov_nz, nz0)
                 dpx, dpy, dpz = px - sx, py - sy, pz - sz
                 aov_d = jnp.where(
-                    hit, jnp.sqrt(dpx * dpx + dpy * dpy + dpz * dpz), z_far_default
-                )
+                    hit, jnp.sqrt(dpx * dpx + dpy * dpy + dpz * dpz),
+                    z_far_default)
                 aov_m = jnp.where(hit, hmat, sky_idx)
-                p_light = hit & is_light_m
-                mark = active & is_fog_m
-                f_active = mark
-                f_fx = jnp.where(mark, px, f_fx)
-                f_fy = jnp.where(mark, py, f_fy)
-                f_fz = jnp.where(mark, pz, f_fz)
-                f_dx = jnp.where(mark, fog_cx, f_dx)
-                f_dy = jnp.where(mark, fog_cy, f_dy)
-                f_dz = jnp.where(mark, fog_cz, f_dz)
-                f_dens = jnp.where(mark, fog_dens_m, f_dens)
-                f_u = jnp.where(mark, u3, f_u)
-                f_row = jnp.where(mark, hmat, f_row)
+            p_light = hit & is_light_m
+            mark = active & is_fog_m
+            f_active = mark
+            f_fx = jnp.where(mark, px, f_fx)
+            f_fy = jnp.where(mark, py, f_fy)
+            f_fz = jnp.where(mark, pz, f_fz)
+            f_dx = jnp.where(mark, fog_cx, f_dx)
+            f_dy = jnp.where(mark, fog_cy, f_dy)
+            f_dz = jnp.where(mark, fog_cz, f_dz)
+            f_dens = jnp.where(mark, fog_dens_m, f_dens)
+            f_u = jnp.where(mark, u3, f_u)
+            f_row = jnp.where(mark, hmat, f_row)
 
-            if defer_all:
-                # ``k`` is channel-independent in defer_all (only shape
-                # numbers like the ceramic spike land there); bias events
-                # carry (se, mat_e) instead of ke constants.
-                sl_mat = jnp.where(active, hmat, sl_mat)
-                sl_u = jnp.where(active, huu, sl_u)
-                sl_v = jnp.where(active, hvv, sl_v)
-                slots.append(dict(s=sl_s, k=sl_k0, se=sl_se, mat=sl_mat,
-                                  mat_e=sl_mat_e, u=sl_u, v=sl_v))
-            elif deferred_tex:
-                # Untextured emission (lights/glow) accumulated in ex; the
-                # active mask is disjoint from the absorbed/miss ke events.
-                sl_ke0 = jnp.where(active, ex, sl_ke0)
-                sl_ke1 = jnp.where(active, ey, sl_ke1)
-                sl_ke2 = jnp.where(active, ez, sl_ke2)
-                sl_mat = jnp.where(active, hmat, sl_mat)
-                sl_u = jnp.where(active, huu, sl_u)
-                sl_v = jnp.where(active, hvv, sl_v)
-                slots.append(dict(s=sl_s, k0=sl_k0, k1=sl_k1, k2=sl_k2,
-                                  se=sl_se, ke0=sl_ke0, ke1=sl_ke1,
-                                  ke2=sl_ke2, u=sl_u, v=sl_v, mat=sl_mat))
-            else:
-                Lx = Lx + jnp.where(active, Tx * ex, 0.0)
-                Ly = Ly + jnp.where(active, Ty * ey, 0.0)
-                Lz = Lz + jnp.where(active, Tz * ez, 0.0)
-                Tx = jnp.where(active, Tx * cx, Tx)
-                Ty = jnp.where(active, Ty * cy, Ty)
-                Tz = jnp.where(active, Tz * cz, Tz)
+        slot = None
+        if defer_all:
+            # ``k`` is channel-independent in defer_all (only shape
+            # numbers like the ceramic spike land there); bias events
+            # carry (se, mat_e) instead of ke constants.
+            sl_mat = jnp.where(active, hmat, sl_mat)
+            sl_u = jnp.where(active, huu, sl_u)
+            sl_v = jnp.where(active, hvv, sl_v)
+            slot = dict(s=sl_s, k=sl_k0, se=sl_se, mat=sl_mat,
+                        mat_e=sl_mat_e, u=sl_u, v=sl_v)
+        elif deferred_tex:
+            # Untextured emission (lights/glow) accumulated in ex; the
+            # active mask is disjoint from the absorbed/miss ke events.
+            sl_ke0 = jnp.where(active, ex, sl_ke0)
+            sl_ke1 = jnp.where(active, ey, sl_ke1)
+            sl_ke2 = jnp.where(active, ez, sl_ke2)
+            sl_mat = jnp.where(active, hmat, sl_mat)
+            sl_u = jnp.where(active, huu, sl_u)
+            sl_v = jnp.where(active, hvv, sl_v)
+            slot = dict(s=sl_s, k0=sl_k0, k1=sl_k1, k2=sl_k2,
+                        se=sl_se, ke0=sl_ke0, ke1=sl_ke1,
+                        ke2=sl_ke2, u=sl_u, v=sl_v, mat=sl_mat)
+        else:
+            Lx = Lx + jnp.where(active, Tx * ex, 0.0)
+            Ly = Ly + jnp.where(active, Ty * ey, 0.0)
+            Lz = Lz + jnp.where(active, Tz * ez, 0.0)
+            Tx = jnp.where(active, Tx * cx, Tx)
+            Ty = jnp.where(active, Ty * cy, Ty)
+            Tz = jnp.where(active, Tz * cz, Tz)
 
-            sx = jnp.where(active, px + bx * ray_offset, sx)
-            sy = jnp.where(active, py + by * ray_offset, sy)
-            sz = jnp.where(active, pz + bz * ray_offset, sz)
-            scale = z_far_default - ray_offset
-            dx = jnp.where(active, bx * scale, dx)
-            dy = jnp.where(active, by * scale, dy)
-            dz = jnp.where(active, bz * scale, dz)
+        sx = jnp.where(active, px + bx * ray_offset, sx)
+        sy = jnp.where(active, py + by * ray_offset, sy)
+        sz = jnp.where(active, pz + bz * ray_offset, sz)
+        scale = z_far_default - ray_offset
+        dx = jnp.where(active, bx * scale, dx)
+        dy = jnp.where(active, by * scale, dy)
+        dz = jnp.where(active, bz * scale, dz)
 
-            alive = active & will
+        alive = active & will
+
+        st2 = dict(
+            sx=sx, sy=sy, sz=sz, dx=dx, dy=dy, dz=dz,
+            Lx=Lx, Ly=Ly, Lz=Lz, Tx=Tx, Ty=Ty, Tz=Tz,
+            alive=alive, segcnt=segcnt,
+            f_active=f_active, f_fx=f_fx, f_fy=f_fy, f_fz=f_fz,
+            f_dx=f_dx, f_dy=f_dy, f_dz=f_dz, f_dens=f_dens, f_u=f_u,
+            f_row=f_row,
+            aov_nx=aov_nx, aov_ny=aov_ny, aov_nz=aov_nz, aov_d=aov_d,
+            aov_m=aov_m, p_light=p_light, pix=pix, smp=smp, h0=h0,
+        )
+        return st2, slot
+
+    def finalize(st, slots):
+        sx = st["sx"]
+        zero = jnp.zeros_like(sx)
+        one = jnp.ones_like(sx)
+        alive, p_light, segcnt = st["alive"], st["p_light"], st["segcnt"]
+        Lx, Ly, Lz = st["Lx"], st["Ly"], st["Lz"]
+        Tx, Ty, Tz = st["Tx"], st["Ty"], st["Tz"]
+        aov_nx, aov_ny, aov_nz = st["aov_nx"], st["aov_ny"], st["aov_nz"]
+        aov_d, aov_m = st["aov_d"], st["aov_m"]
+        slots = list(slots)
 
         if cfg.fast_render:
             if defer_all:
@@ -642,6 +751,18 @@ def build_path_core(scene: HostScene, mats: HostMaterials, cfg, sky_idx: int,
         Lx, Ly, Lz = Lx * s, Ly * s, Lz * s
 
         return (Lx, Ly, Lz, aov_nx, aov_ny, aov_nz, aov_d, aov_m, segcnt)
+
+    if return_stepper:
+        return init, step, finalize
+
+    def core(h0_i32, sx, sy, sz, dx, dy, dz, pix_i32, smp_i32):
+        st = init(h0_i32, sx, sy, sz, dx, dy, dz, pix_i32, smp_i32)
+        slots = []
+        for depth in range(depth_count):
+            st, slot = step(depth, st)
+            if slot is not None:
+                slots.append(slot)
+        return finalize(st, slots)
 
     return core
 

@@ -32,6 +32,7 @@ from fspt_tpu.ops.intersect import Hit, KIND_TRIANGLE, intersect_scene
 from fspt_tpu.parallel.mesh import RAY_AXIS
 from fspt_tpu.render import framebuffer as fb_mod
 from fspt_tpu.render import integrator
+from fspt_tpu.render import queue as queue_mod
 from fspt_tpu.scene.builder import ScenePack, TriShade
 
 _BIG = jnp.float32(3.0e38)
@@ -124,8 +125,15 @@ def shard_scene_triangles(scene: ScenePack, n_shards: int):
     return stacked_bvh, stacked_shade, stacked_gids, order, bounds
 
 
-def _merge_hits(hit: Hit, axis_name) -> Hit:
-    """Cross-device closest hit: pmin on t, lowest-rank winner on ties."""
+def _merge_hits(hit: Hit, axis_name, n_dev: int | None = None) -> Hit:
+    """Cross-device closest hit: pmin on t, lowest-rank winner on ties.
+
+    ``n_dev=1`` (static) short-circuits to identity: a single-shard mesh
+    needs no merge, and each collective is an XLA fusion barrier — ~10 of
+    them per bounce iteration measurably slow the 1-device path even
+    though they lower to copies."""
+    if n_dev == 1:
+        return hit
     t_cand = jnp.where(hit.hit, hit.t, _BIG)
     t_min = jax.lax.pmin(t_cand, axis_name)
     n_dev = jax.lax.psum(1, axis_name)
@@ -198,7 +206,9 @@ def shard_treelet_tables(scene: ScenePack, n_shards: int,
 def make_scene_sharded_render_step(mesh, cfg: RenderConfig,
                                    scene: ScenePack, fast: bool = False,
                                    block_rays: int = 64,
-                                   sub_bundles: int = 64, group: int = 8):
+                                   sub_bundles: int = 64, group: int = 8,
+                                   queue: int = 1 << 17,
+                                   pipeline_depth: int = 4):
     """Render step with the TRIANGLES sharded over the mesh, rays
     replicated.
 
@@ -226,9 +236,19 @@ def make_scene_sharded_render_step(mesh, cfg: RenderConfig,
     n = mesh.devices.size
     (stacked_bvh, stacked_shade, stacked_gids, order,
      bounds) = shard_scene_triangles(scene, n)
+    base_fn = None
     if fast:
+        from fspt_tpu.ops.pallas_trace import make_pallas_intersector
+
         stacked_tabs, box_lo, box_hi = shard_treelet_tables(
             scene, n, order=order, bounds=bounds)
+        # Analytic primitives ride the baked Pallas kernel (same cascade
+        # as the replicated make_mesh_intersector): the XLA brute pass
+        # materializes full Hit SoAs through HBM every bounce iteration.
+        # Baked from the build-time scene — consistent with the baked
+        # triangle contract below; falls back to the live XLA pass when
+        # the geometry can't be specialized.
+        base_fn = make_pallas_intersector(scene.geometry)
     else:
         stacked_tabs = box_lo = box_hi = None
 
@@ -238,7 +258,8 @@ def make_scene_sharded_render_step(mesh, cfg: RenderConfig,
 
         trav = make_culled_traverser(None, block_rays=block_rays,
                                      sub_bundles=sub_bundles, group=group,
-                                     tables=tabs)
+                                     tables=tabs,
+                                     pipeline_depth=pipeline_depth)
 
         def box_exit(start, seg):
             inv = 1.0 / jnp.where(jnp.abs(seg) < 1e-30,
@@ -251,7 +272,8 @@ def make_scene_sharded_render_step(mesh, cfg: RenderConfig,
             return jnp.where(hitbox, tfar * 1.0001 + 1e-5, 0.0)
 
         def intersect(start, seg, alive=None):
-            base = intersect_scene(scene_in.geometry, start, seg)
+            base = (base_fn(start, seg) if base_fn is not None
+                    else intersect_scene(scene_in.geometry, start, seg))
             t_init = jnp.minimum(base.t, box_exit(start, seg))
             if alive is not None:
                 t_init = jnp.where(alive, t_init, 0.0)
@@ -282,7 +304,7 @@ def make_scene_sharded_render_step(mesh, cfg: RenderConfig,
                 hit=base.hit | tri_hit,
                 prim_id=jnp.where(tri_hit, gid, -1),
             )
-            return _merge_hits(local, RAY_AXIS)
+            return _merge_hits(local, RAY_AXIS, n)
 
         intersect.accepts_alive = True
         return intersect
@@ -298,10 +320,20 @@ def make_scene_sharded_render_step(mesh, cfg: RenderConfig,
             intersector = fast_intersector(tabs, shard_blo[0], shard_bhi[0],
                                            shade, global_of, scene_in)
             intersector.accepts_alive = True
-            fb, segs = integrator.render_step(
-                scene_in, camera, cfg, fb, seed, frame_idx,
-                intersector=intersector)
-            return fb, segs
+            # Regenerating queue, not the unrolled wavefront: the unrolled
+            # loop re-runs the full-wavefront sort/cull/sweep at every
+            # depth on 5-20% live lanes (the replicated path's r3 lesson,
+            # render/queue.py) and compiles depth× copies of the sweep
+            # graph.  Queue state is replicated and the shard merge's
+            # collectives sit inside the intersector, so every device runs
+            # the while_loop in lockstep with identical trip counts.
+            out = queue_mod.render_queued(
+                scene_in, camera, cfg, seed, frame_idx * cfg.spp,
+                intersector=intersector, queue=queue)
+            fb = fb_mod.accumulate(
+                fb, out.radiance, out.aov_normal, out.aov_depth,
+                out.aov_mat, cfg.height, cfg.width, cfg.spp)
+            return fb, out.segments
 
         def intersector(start, seg, alive=None):
             base = intersect_scene(scene_in.geometry, start, seg)
@@ -328,7 +360,7 @@ def make_scene_sharded_render_step(mesh, cfg: RenderConfig,
                 hit=base.hit | tri_wins,
                 prim_id=jnp.where(tri_wins, gid, -1),
             )
-            return _merge_hits(local, RAY_AXIS)
+            return _merge_hits(local, RAY_AXIS, n)
 
         intersector.accepts_alive = True
         fb, segs = integrator.render_step(

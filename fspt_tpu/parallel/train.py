@@ -246,6 +246,7 @@ def make_bvh_vertex_recovery_step(mesh, cfg: RenderConfig, scene,
                                   pool: int = 1, shade_normals="flat",
                                   queue: int | None = None,
                                   use_queue: bool = False,
+                                  replay: str = "auto",
                                   **fast_kwargs):
     """Vertex recovery on a BVH-scale scene (100k+ triangles) by TWO-PHASE
     hit-id replay:
@@ -275,11 +276,19 @@ def make_bvh_vertex_recovery_step(mesh, cfg: RenderConfig, scene,
     ``shade_normals="flat"`` re-derives geometric normals from the traced
     vertices so lighting follows the surface; "fixed" keeps the baked
     shading normals.
+
+    ``replay`` selects the phase-2 renderer: ``"planar"`` = the
+    component-planar path body (ops/diff_intersect.
+    make_planar_recorded_replay — no (8,128) tile-padding tax on loop
+    state or saved residuals), ``"wavefront"`` = the general integrator,
+    ``"auto"`` = planar when the scene's analytic part can be
+    specialized, wavefront otherwise.
     """
     import dataclasses
 
     from fspt_tpu.ops.diff_intersect import (flat_normals,
                                              make_diff_mesh_intersector,
+                                             make_planar_recorded_replay,
                                              make_recorded_replay,
                                              tris_from_scene)
     from fspt_tpu.render import integrator
@@ -294,6 +303,14 @@ def make_bvh_vertex_recovery_step(mesh, cfg: RenderConfig, scene,
     # [spp, 2·spp) buffer B — distinct RNG counters, so independent.
     cfg2 = dataclasses.replace(cfg, spp=2 * cfg.spp)
     q = queue or DEFAULT_QUEUE
+    planar = None
+    if replay in ("auto", "planar"):
+        # z_far is baked into the planar body; every Camera.create in this
+        # codebase uses the reference default 10000 (camera.py).
+        planar = make_planar_recorded_replay(scene, cfg2, z_far=10000.0)
+        if planar is None and replay == "planar":
+            raise ValueError("scene can't use the planar replay "
+                             "(textured or too many analytic prims)")
 
     def bind_tris(params):
         tr = dict(baked)
@@ -337,11 +354,18 @@ def make_bvh_vertex_recovery_step(mesh, cfg: RenderConfig, scene,
 
         # Phase 2: differentiable replay of the recorded paths — one
         # Möller–Trumbore of the recorded winner per segment; the
-        # sort/cull/sweep machinery never enters the AD graph.
-        out = integrator.render_wavefront(
-            scene_in, camera, cfg2, seed, frame_idx * cfg2.spp, y0=y0,
-            rows=rows, intersector=replay_bind(tr, ids, hitm))
-        rad = out.radiance.reshape(rows, cfg.width, 2, cfg.spp, 3)
+        # sort/cull/sweep machinery never enters the AD graph.  Planar
+        # body when available (no (8,128) tile-padding tax), general
+        # integrator otherwise.
+        if planar is not None:
+            rad, _ = planar(tr, ids, hitm, camera, seed,
+                            frame_idx * cfg2.spp, y0=y0, rows=rows)
+        else:
+            out = integrator.render_wavefront(
+                scene_in, camera, cfg2, seed, frame_idx * cfg2.spp, y0=y0,
+                rows=rows, intersector=replay_bind(tr, ids, hitm))
+            rad = out.radiance
+        rad = rad.reshape(rows, cfg.width, 2, cfg.spp, 3)
         return rad[:, :, 0].mean(axis=2), rad[:, :, 1].mean(axis=2)
 
     return make_recovery_step(mesh, cfg, lr=lr, optimizer=optimizer,

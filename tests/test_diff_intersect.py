@@ -109,6 +109,62 @@ def test_replay_vertex_gradient_matches_fd(bvh_scene):
             f"axis {ax}: AD {float(g[ax])} vs FD {fd}")
 
 
+def test_planar_replay_matches_wavefront(bvh_scene):
+    """The component-planar phase-2 replay (make_planar_recorded_replay)
+    matches the wavefront replay on the same recorded winner ids —
+    radiance, segment count, and vertex gradients (edge term included)."""
+    from fspt_tpu.ops.diff_intersect import (make_planar_recorded_replay,
+                                             make_recorded_replay)
+    from fspt_tpu.render import integrator
+
+    cfg = RenderConfig(width=16, height=12, spp=2, max_depth=3,
+                       edge_eps=0.05)
+    cam = Camera.create(origin=(0.0, 10.0, -45.0), target=(0.0, -8.0, 0.0),
+                        aperture_size=0.0)
+    diff = make_diff_mesh_intersector(bvh_scene)
+
+    rec = []
+
+    def recorder(start, seg, alive=None):
+        h = diff(start, seg, alive)
+        rec.append((h.prim_id, h.hit))
+        return h
+
+    recorder.accepts_alive = True
+    integrator.render_wavefront(bvh_scene, cam, cfg, 5, 0,
+                                intersector=recorder)
+    ids = jnp.stack([i for i, _ in rec], axis=1)
+    hitm = jnp.stack([h for _, h in rec], axis=1)
+
+    tris = tris_from_scene(bvh_scene)
+    bind = make_recorded_replay(bvh_scene)
+    planar = make_planar_recorded_replay(bvh_scene, cfg, z_far=10000.0)
+    assert planar is not None
+
+    def loss_w(dv):
+        tr = {k: (v + dv if k in ("v0", "v1", "v2") else v)
+              for k, v in tris.items()}
+        out = integrator.render_wavefront(
+            bvh_scene, cam, cfg, 5, 0, intersector=bind(tr, ids, hitm))
+        return jnp.sum(out.radiance ** 2), (out.radiance, out.segments)
+
+    def loss_p(dv):
+        tr = {k: (v + dv if k in ("v0", "v1", "v2") else v)
+              for k, v in tris.items()}
+        rad, segs = planar(tr, ids, hitm, cam, 5, 0)
+        return jnp.sum(rad ** 2), (rad, segs)
+
+    zero = jnp.zeros(3, jnp.float32)
+    (lw, (rw, sw)), gw = jax.value_and_grad(loss_w, has_aux=True)(zero)
+    (lp, (rp, sp)), gp = jax.value_and_grad(loss_p, has_aux=True)(zero)
+    assert int(sw) == int(sp)
+    np.testing.assert_allclose(np.asarray(rp), np.asarray(rw),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(lp), float(lw), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gw),
+                               rtol=2e-3, atol=1e-4)
+
+
 def test_replay_renders_through_integrator(bvh_scene):
     from fspt_tpu.render import integrator
 

@@ -250,3 +250,45 @@ def test_fused_loss_grad_matches_two_kernel():
         np.testing.assert_allclose(np.asarray(grads[k]),
                                    np.asarray(ref_g[k]),
                                    rtol=1e-4, atol=1e-8, err_msg=k)
+
+
+def test_fused_loss_grad_backward_modes_agree():
+    """The three backward constructions — in-kernel affine fold vjp,
+    per-bounce-remat chain, whole-chain vjp — produce the same loss,
+    gradients (up to float re-association), and segment count."""
+    from fspt_tpu.ops.pallas_grad import make_fused_loss_grad_fn
+
+    scene, cam, cfg = _setup(width=16, height=12, spp=2, max_depth=4)
+    f_af = make_fused_loss_grad_fn(scene, cam, cfg, affine=True)
+    f_rm = make_fused_loss_grad_fn(scene, cam, cfg, affine=False, remat=True)
+    f_un = make_fused_loss_grad_fn(scene, cam, cfg, affine=False, remat=False)
+    params = {"diffuse": scene.materials.diffuse,
+              "emissive": scene.materials.emissive}
+    rng = np.random.default_rng(1)
+    target = jnp.asarray(
+        rng.random((cfg.height, cfg.width, 3)).astype(np.float32))
+
+    l_un, g_un, s_un = f_un(params, target, 9, 2, 0, cfg.height)
+    for name, fn in (("affine", f_af), ("remat", f_rm)):
+        l, g, s = fn(params, target, 9, 2, 0, cfg.height)
+        np.testing.assert_allclose(float(l), float(l_un), rtol=1e-5,
+                                   err_msg=name)
+        assert int(s) == int(s_un), name
+        for k in g:
+            np.testing.assert_allclose(np.asarray(g[k]),
+                                       np.asarray(g_un[k]),
+                                       rtol=1e-4, atol=1e-8,
+                                       err_msg=f"{name}:{k}")
+
+
+def test_fused_loss_grad_affine_rejects_scalar_fields():
+    from fspt_tpu.ops.pallas_grad import make_fused_loss_grad_fn
+    import pytest
+
+    scene, cam, cfg = _setup(width=16, height=8, spp=1, max_depth=2)
+    with pytest.raises(ValueError):
+        make_fused_loss_grad_fn(scene, cam, cfg,
+                                fields=("diffuse", "param"), affine=True)
+    # auto mode silently falls back to the remat chain for scalar fields.
+    assert make_fused_loss_grad_fn(scene, cam, cfg,
+                                   fields=("diffuse", "param")) is not None
