@@ -41,6 +41,9 @@ def build_argparser():
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint path; resumes if it exists, saves each frame")
     p.add_argument("--checkpoint-every", type=int, default=8)
+    p.add_argument("--no-first-hit-cache", action="store_true",
+                   help="disable the static-camera first-hit cache on the "
+                        "BVH path (reference ImagePlaneCache analog)")
     return p
 
 
@@ -82,12 +85,27 @@ def main(argv=None):
     else:
         # Same cascade bench.py measures (VERDICT r3 #2): BVH scenes get
         # the queued wavefront + Pallas treelet sweep, analytic scenes the
-        # baked Pallas intersect kernel, else the XLA fallbacks.
-        name, scene_step = make_scene_step(scene, cfg)
-        print(f"render path: {name}")
+        # baked Pallas intersect kernel, else the XLA fallbacks.  The CLI
+        # camera is static for the whole run, so BVH scenes also get the
+        # first-hit cache (reference ImagePlaneCache, engine.h:46-65):
+        # depth-0 collisions come from a G-buffer built once up front.
+        from fspt_tpu.render.dispatch import make_cached_scene_step
 
-        def step(fb, frame_idx):
-            return scene_step(scene, camera, fb, args.seed, frame_idx)
+        cname, cstep, cache_fn = (None, None, None) if args.no_first_hit_cache \
+            else make_cached_scene_step(scene, cfg)
+        if cstep is not None:
+            print(f"render path: {cname}")
+            first_hits = jax.jit(cache_fn)(scene, camera, args.seed)
+
+            def step(fb, frame_idx):
+                return cstep(scene, camera, fb, args.seed, frame_idx,
+                             first_hits)
+        else:
+            name, scene_step = make_scene_step(scene, cfg)
+            print(f"render path: {name}")
+
+            def step(fb, frame_idx):
+                return scene_step(scene, camera, fb, args.seed, frame_idx)
 
     step = jax.jit(step)
     fb = fb_mod.create(cfg.height, cfg.width)

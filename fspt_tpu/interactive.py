@@ -47,7 +47,7 @@ class RenderSession:
     """Progressive render with reference-style interactions."""
 
     def __init__(self, builder, cfg: RenderConfig | None = None, seed: int = 0,
-                 camera_index: int = 0):
+                 camera_index: int = 0, first_hit_cache: bool = True):
         self.builder = builder
         self.scene = builder.compile()
         self.camera = builder.cameras[camera_index] if builder.cameras else Camera.create()
@@ -58,6 +58,14 @@ class RenderSession:
         self._fb = fb_mod.create(self.cfg.height, self.cfg.width)
         self._steps = {}
         self.path_name = None  # set on first refine()
+        # First-hit cache (reference ImagePlaneCache, engine.h:46-65):
+        # while the camera is still, progressive frames on the BVH path
+        # fetch depth-0 collisions from a persistent G-buffer keyed on the
+        # camera pose; orbit/focus/reset invalidate it (main.cpp:142-143).
+        self.first_hit_cache = first_hit_cache
+        self._cached = None   # (jit step, jit cache_fn) | False (n/a)
+        self._fh = None       # current G-buffer
+        self._fh_key = None   # camera-pose key it was built for
 
     # -- interactions (main.cpp:117-154) -----------------------------------
 
@@ -114,7 +122,45 @@ class RenderSession:
             self._steps[cfg] = jax.jit(step)
         return self._steps[cfg]
 
+    def _camera_key(self):
+        return b"".join(np.asarray(leaf).tobytes()
+                        for leaf in jax.tree_util.tree_leaves(self.camera))
+
+    def _cached_step_fn(self):
+        """Jitted (step, cache_fn) for the first-hit-cached BVH path, or
+        None when the scene/config can't use it (analytic scenes keep the
+        megakernel — primaries are already free there)."""
+        if self._cached is False:
+            return None
+        if self._cached is None:
+            from fspt_tpu.render.dispatch import make_cached_scene_step
+
+            name, step, cache_fn = make_cached_scene_step(self.scene,
+                                                          self.cfg)
+            if step is None:
+                self._cached = False
+                return None
+            self.path_name = name
+            self._cached = (jax.jit(step), jax.jit(cache_fn))
+        return self._cached
+
     def refine(self, frames: int = 1):
+        cached = None
+        if self.first_hit_cache and not self.fast_render:
+            cached = self._cached_step_fn()
+        if cached is not None:
+            step, cache_fn = cached
+            key = self._camera_key()
+            if self._fh is None or key != self._fh_key:
+                self._fh = cache_fn(self.scene, self.camera, self.seed)
+                self._fh_key = key
+            segments = 0
+            for _ in range(frames):
+                self._fb, segs = step(self.scene, self.camera, self._fb,
+                                      self.seed, self.frame, self._fh)
+                self.frame += 1
+                segments += int(segs)
+            return segments
         step = self._step_fn()
         segments = 0
         for _ in range(frames):

@@ -73,3 +73,51 @@ def make_scene_step(scene: ScenePack, cfg: RenderConfig, queue: int = None):
                                       frame_idx, intersector=intersector)
 
     return name, step
+
+
+def make_cached_scene_step(scene: ScenePack, cfg: RenderConfig,
+                           queue: int = None):
+    """First-hit-cached progressive step for BVH scenes (reference
+    ImagePlaneCache, engine.h:46-65 + engine.cpp:33-105).
+
+    Returns ``(name, step, cache_fn)`` where
+    ``cache_fn(scene, camera, seed) → first_hits`` builds the depth-0
+    G-buffer for the current camera pose and
+    ``step(scene, camera, fb, seed, frame_idx, first_hits) →
+    (fb, segments)`` renders one progressive frame fetching depth-0
+    collisions from it (bounce RNG advances per frame; the camera-uniform
+    stream is frozen at ``cam_sample0=0`` — the estimator the reference's
+    cache also computes, its cached collision being a frozen jittered
+    primary).  Returns ``(None, None, None)`` when the scene has no
+    BVH-queued path — callers fall back to :func:`make_scene_step`.
+    The session layer owns invalidation: rebuild ``first_hits`` whenever
+    the camera changes (main.cpp:142-143).
+    """
+    if scene.bvh is None or cfg.edge_eps != 0.0:
+        return None, None, None
+    from fspt_tpu.ops.pallas_bvh import make_mesh_intersector
+    from fspt_tpu.render.queue import (DEFAULT_QUEUE, compute_first_hits,
+                                       render_queued)
+
+    inter = make_mesh_intersector(scene)
+    if inter is None:
+        return None, None, None
+    q = queue or DEFAULT_QUEUE
+
+    def cache_fn(scene_in, camera, seed):
+        return compute_first_hits(scene_in, camera, cfg, seed, 0,
+                                  intersector=inter, chunk=q)
+
+    def step(scene_in, camera, fb, seed, frame_idx, first_hits):
+        rows = fb.mean.shape[0]
+        out = render_queued(scene_in, camera, cfg, seed,
+                            frame_idx * cfg.spp, rows=rows,
+                            intersector=inter, queue=q, cam_sample0=0,
+                            first_hits=first_hits)
+        fb = fb_mod.accumulate(fb, out.radiance, out.aov_normal,
+                               out.aov_depth, out.aov_mat,
+                               rows, cfg.width, cfg.spp)
+        return fb, out.segments
+
+    return ("queued wavefront + pallas MXU-treelet BVH + first-hit cache",
+            step, cache_fn)

@@ -54,7 +54,8 @@ DEFAULT_QUEUE = 1 << 18
 def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
                   seed, sample0, y0=0, rows=None, *, intersector,
                   queue: int = DEFAULT_QUEUE, aovs: bool = True,
-                  record_hits: bool = False):
+                  record_hits: bool = False, cam_sample0=None,
+                  first_hits=None):
     """Render a band through a regenerating ray queue.
 
     Drop-in for ``render_wavefront`` — deterministically equivalent
@@ -70,9 +71,25 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
     where row ``(lane, d)`` holds the winner id / hit flag of that lane's
     depth-``d`` segment (-1 / False for untraced depths) and
     ``D = cfg.effective_depth``.
+
+    ``cam_sample0`` decouples the CAMERA sample counter (AA jitter + DoF
+    lens uniforms) from the bounce counter ``sample0``: progressive frames
+    that freeze ``cam_sample0`` re-trace identical primary rays while
+    bounce RNG still advances — the estimator behind the first-hit cache
+    (reference ImagePlaneCache, engine.h:46-65).  Defaults to ``sample0``.
+
+    ``first_hits`` is an optional cached depth-0 ``Hit`` for every lane of
+    the band (from :func:`compute_first_hits`, same ``cam_sample0``):
+    depth-0 segments gather their collision from it instead of running the
+    intersector (their lanes enter the sweep dead, so the BVH does zero
+    tree work for them — engine.cpp:77-85's cache fetch).  Exact: cached
+    and uncached renders of the same frozen-jitter estimator are equal
+    (tests/test_queue.py).
     """
     if rows is None:
         rows = cfg.height
+    if cam_sample0 is None:
+        cam_sample0 = sample0
     n = rows * cfg.width * cfg.spp
     q = min(queue, n)
     geom = scene.geometry
@@ -97,7 +114,7 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         has = dead & (new_id < n)
         lane_id = jnp.where(has, new_id, jnp.where(dead, -1, st["lane_id"]))
         o_new, d_new, _, _ = rays_for_lanes(
-            camera, cfg.width, cfg.height, cfg.spp, seed, sample0,
+            camera, cfg.width, cfg.height, cfg.spp, seed, cam_sample0,
             jnp.maximum(lane_id, 0), y0=y0)
         h3 = has[:, None]
         st = dict(st)
@@ -151,7 +168,32 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         radiance, throughput = st["radiance"], st["throughput"]
         segments = st["segments"] + jnp.sum(alive.astype(jnp.int32))
 
-        hit = intersect(o, d, alive)
+        if first_hits is not None:
+            # Depth-0 lanes fetch their collision from the cache; they
+            # enter the intersector dead (t_init=0 → the sweep culls them
+            # to zero leaf visits) and their Hit fields are overwritten by
+            # the per-lane gather below.
+            cached0 = alive & (depth == 0)
+            hit = intersect(o, d, alive & ~cached0)
+            safe = jnp.maximum(st["lane_id"], 0)
+            c3 = cached0[:, None]
+            hit = hit._replace(
+                t=jnp.where(cached0, first_hits.t[safe], hit.t),
+                point=jnp.where(c3, first_hits.point[safe], hit.point),
+                normal=jnp.where(c3, first_hits.normal[safe], hit.normal),
+                texcoords=jnp.where(c3, first_hits.texcoords[safe],
+                                    hit.texcoords),
+                mat=jnp.where(cached0, first_hits.mat[safe], hit.mat),
+                prim_kind=jnp.where(cached0, first_hits.prim_kind[safe],
+                                    hit.prim_kind),
+                hit=jnp.where(cached0, first_hits.hit[safe], hit.hit),
+                prim_id=None if hit.prim_id is None else jnp.where(
+                    cached0, first_hits.prim_id[safe], hit.prim_id),
+                edge_dist=None if hit.edge_dist is None else jnp.where(
+                    cached0, first_hits.edge_dist[safe], hit.edge_dist),
+            )
+        else:
+            hit = intersect(o, d, alive)
 
         if record_hits:
             # Winner-id record for the two-phase differentiable replay:
@@ -318,3 +360,44 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         return out, (st["rec_ids"][:n * eff_depth].reshape(n, eff_depth),
                      st["rec_hit"][:n * eff_depth].reshape(n, eff_depth))
     return out
+
+
+def compute_first_hits(scene: ScenePack, camera: Camera, cfg: RenderConfig,
+                       seed, cam_sample0, *, intersector, y0=0, rows=None,
+                       chunk: int = DEFAULT_QUEUE):
+    """Depth-0 collision for every lane of a band: the first-hit G-buffer.
+
+    The TPU form of the reference's ``ImagePlaneCache`` build pass
+    (engine.cpp:33-105): trace the band's primary rays once — frozen
+    camera-uniform stream ``cam_sample0`` — and keep the full ``Hit`` SoA.
+    Feed the result to :func:`render_queued` as ``first_hits`` (with the
+    same ``cam_sample0``) so every later progressive frame skips depth-0
+    tree work while the camera is still; any camera change invalidates it
+    (main.cpp:142-143 → the session layer re-keys on a camera hash).
+
+    Runs in ``chunk``-lane slices via ``lax.map`` so the one-time build
+    compiles a single chunk body regardless of band size.  Must use the
+    SAME ``intersector`` the progressive frames use, so the cached ``Hit``
+    carries exactly the fields the queue expects to gather.
+    """
+    if rows is None:
+        rows = cfg.height
+    n = rows * cfg.width * cfg.spp
+    c = min(chunk, n)
+    n_chunks = -(-n // c)
+    n_pad = n_chunks * c
+    lanes = jnp.arange(n_pad, dtype=jnp.int32)
+    # Pad lanes replay lane 0 (same shapes every chunk) and are sliced off.
+    lanes = jnp.where(lanes < n, lanes, 0).reshape(n_chunks, c)
+
+    use_alive = getattr(intersector, "accepts_alive", False)
+
+    def one(chunk_lanes):
+        o, d, _, _ = rays_for_lanes(camera, cfg.width, cfg.height, cfg.spp,
+                                    seed, cam_sample0, chunk_lanes, y0=y0)
+        alive = jnp.ones(chunk_lanes.shape, bool)
+        return intersector(o, d, alive) if use_alive else intersector(o, d)
+
+    hits = jax.lax.map(one, lanes)
+    return jax.tree.map(
+        lambda a: a.reshape((n_pad,) + a.shape[2:])[:n], hits)

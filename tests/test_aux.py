@@ -121,7 +121,9 @@ def test_render_session_uses_fast_mesh_path():
 
     b = build_bvh_scene()
     cfg = RenderConfig(width=16, height=12, spp=1, max_depth=2)
-    s = RenderSession(b, cfg, seed=3)
+    # first_hit_cache=False pins the base queued path; the cached variant
+    # is pinned by test_queue.py::test_render_session_first_hit_cache_*.
+    s = RenderSession(b, cfg, seed=3, first_hit_cache=False)
     segs = s.refine(1)
     assert segs > 0
     assert s.path_name == "queued wavefront + pallas MXU-treelet BVH"

@@ -166,3 +166,53 @@ def test_recorded_replay_matches_queue():
     np.testing.assert_allclose(np.asarray(out1.radiance),
                                np.asarray(out2.radiance),
                                rtol=2e-3, atol=2e-5)
+
+
+def test_first_hit_cache_matches_uncached():
+    """First-hit cache (reference ImagePlaneCache, engine.h:46-65): with
+    the camera-uniform stream frozen at ``cam_sample0``, fetching depth-0
+    collisions from the G-buffer reproduces the uncached render of the
+    same estimator exactly while bounce RNG advances per frame."""
+    import jax
+
+    from fspt_tpu.ops.pallas_bvh import make_mesh_intersector
+    from fspt_tpu.render.queue import compute_first_hits
+
+    builder = build_bvh_scene(grid=10)
+    scene = builder.compile()
+    cam = builder.cameras[0]
+    cfg = RenderConfig(width=16, height=12, spp=2, max_depth=3)
+    inter = make_mesh_intersector(scene)
+    fh = jax.jit(lambda: compute_first_hits(
+        scene, cam, cfg, 7, 0, intersector=inter, chunk=128))()
+    for frame in (0, 3):  # bounce counter advances, camera stream frozen
+        ref = render_queued(scene, cam, cfg, 7, frame * cfg.spp,
+                            intersector=inter, queue=256, cam_sample0=0)
+        out = render_queued(scene, cam, cfg, 7, frame * cfg.spp,
+                            intersector=inter, queue=256, cam_sample0=0,
+                            first_hits=fh)
+        np.testing.assert_allclose(np.asarray(ref.radiance),
+                                   np.asarray(out.radiance),
+                                   rtol=2e-3, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(ref.aov_mat),
+                                      np.asarray(out.aov_mat))
+        assert int(ref.segments) == int(out.segments)
+
+
+def test_render_session_first_hit_cache_invalidation():
+    """RenderSession keys the first-hit G-buffer on the camera pose:
+    refine() reuses it while the camera is still, orbit invalidates."""
+    from fspt_tpu.interactive import RenderSession
+
+    b = build_bvh_scene(grid=10)
+    cfg = RenderConfig(width=16, height=12, spp=1, max_depth=2)
+    s = RenderSession(b, cfg, seed=3)
+    assert s.refine(2) > 0
+    assert s.path_name.endswith("first-hit cache")
+    key1 = s._fh_key
+    assert key1 is not None
+    s.refine(1)
+    assert s._fh_key == key1  # camera still → same G-buffer
+    s.orbit(0.2, 0.0)
+    s.refine(1)
+    assert s._fh_key != key1  # pose changed → rebuilt
