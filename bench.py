@@ -153,7 +153,7 @@ def build_mesh_scene(grid=224):
 
 
 def bench_mesh(width=1024, height=1024, spp=4, max_depth=4, queue=1 << 17,
-               outer_iters=3):
+               outer_iters=3, cached=False):
     """100k-tri BVH-path benchmark (BASELINE config 3: 4 bounces, DoF).
 
     The frame streams through the regenerating ray queue (render/queue.py):
@@ -173,12 +173,27 @@ def bench_mesh(width=1024, height=1024, spp=4, max_depth=4, queue=1 << 17,
     log(f"mesh path: queued wavefront + pallas MXU-treelet BVH "
         f"({scene.bvh.n_nodes} fine nodes), queue={queue}")
 
+    fh = None
+    if cached:
+        # Static-camera progressive refinement with the first-hit cache
+        # (reference ImagePlaneCache): depth-0 collisions gather from a
+        # G-buffer built once per pose; primaries do zero tree work.
+        from fspt_tpu.render.queue import compute_first_hits
+
+        t0 = time.time()
+        fh = jax.jit(lambda: compute_first_hits(
+            scene, camera, cfg, 7, 0, intersector=inter, chunk=queue))()
+        jax.block_until_ready(fh)
+        log(f"first-hit cache build: {time.time()-t0:.1f}s")
+
     # Return (segments, radiance sum) so the full image computation stays
     # live under jit — timing methodology matches a real render, not just
     # the segment counter (ADVICE r1).
     def frame(f0):
         out = render_queued(scene, camera, cfg, 7, f0 * cfg.spp,
-                            intersector=inter, queue=queue)
+                            intersector=inter, queue=queue,
+                            cam_sample0=0 if cached else None,
+                            first_hits=fh)
         return out.segments, out.radiance.sum()
 
     fn = jax.jit(frame)
@@ -293,6 +308,74 @@ def bench_scene_sharded(width=512, height=512, spp=2, max_depth=3, iters=2):
     return summarize(rates)
 
 
+def bench_affine(width=1920, height=1080, spp=4, max_depth=8, band_rows=270,
+                 iters=3):
+    """Affine-deferred image renderer rows (VERDICT r4 #6):
+    ``make_affine_grad_image_fn`` is the gradient path for textured scenes
+    and texel recovery — the kernel emits per-depth affine slot planes and
+    the radiance fold runs in XLA, so optimizer steps never recompile the
+    kernel.  Records its forward rate and its fwd+bwd rate (value_and_grad
+    of an MSE image loss through the fold) at the flagship 1080p config.
+    Runs in 270-row bands — the XLA fold's [H,W,spp,·] image epilogue
+    pays the (8,128) tile-padding tax, so a full-frame backward exceeds
+    HBM (measured 44.7 GB padded vs 1.4 GB unpadded); band calls are this
+    path's operating point (the texture-recovery examples').  Segment
+    counts collect asynchronously; one block per timing window.
+    Returns {"affine_image_fwd_rays_per_sec", "affine_image_fwdbwd_..."}."""
+    from fspt_tpu.config import RenderConfig
+    from fspt_tpu.ops.pallas_grad import make_affine_grad_image_fn
+
+    builder = build_bench_scene()
+    scene = builder.compile()
+    camera = builder.cameras[0]
+    cfg = RenderConfig(width=width, height=height, spp=spp,
+                       max_depth=max_depth)
+    img_fn = make_affine_grad_image_fn(scene, camera, cfg)
+    if img_fn is None:
+        raise RuntimeError("flagship scene should specialize")
+    params = {"diffuse": scene.materials.diffuse,
+              "emissive": scene.materials.emissive}
+    target = jnp.zeros((band_rows, width, 3), jnp.float32)
+    n_bands = height // band_rows
+
+    fwd = jax.jit(lambda p, f0, y0: img_fn(p, 7, f0, y0, band_rows))
+
+    def loss_fn(p, f0, y0):
+        img, segs = img_fn(p, 7, f0, y0, band_rows)
+        return jnp.mean((img - target) ** 2), segs
+
+    gfn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+
+    out = {}
+    for name, call, seg_of, ready in (
+            ("affine_image_fwd_rays_per_sec",
+             lambda f0, y0: fwd(params, f0, y0),
+             lambda r: r[1], lambda r: r[0]),
+            ("affine_image_fwdbwd_rays_per_sec",
+             lambda f0, y0: gfn(params, f0, y0),
+             lambda r: r[0][1], lambda r: r[1])):
+        t0 = time.time()
+        r = call(1, 0)
+        jax.block_until_ready(ready(r))
+        log(f"{name} compile+first: {time.time()-t0:.1f}s "
+            f"segs/band={int(seg_of(r))}")
+        rates = []
+        for it in range(iters):
+            t0 = time.time()
+            ss = []
+            for bnd in range(n_bands):
+                r = call(it * n_bands + bnd + 2, bnd * band_rows)
+                ss.append(seg_of(r))
+            jax.block_until_ready(ready(r))
+            dt = time.time() - t0
+            total = sum(int(s) for s in ss)
+            rates.append(total / dt)
+            log(f"{name} iter {it}: {dt/n_bands*1e3:.1f} ms/band, "
+                f"{total/dt/1e6:.1f} Mrays/s")
+        out[name] = summarize(rates)
+    return out
+
+
 def bench_fwdbwd(width=1920, height=1080, spp=4, max_depth=8, band_rows=270,
                  iters=4):
     """BASELINE "report" row: fwd+bwd rays/s/chip at 4spp 1080p.
@@ -324,32 +407,37 @@ def bench_fwdbwd(width=1920, height=1080, spp=4, max_depth=8, band_rows=270,
 
     fused = make_fused_loss_grad_fn(scene, camera, cfg, block_rows=32)
     if fused is not None:
-        log("fwd+bwd path: single fused loss kernel (2 traces + 2 adjoints)")
+        log("fwd+bwd path: single fused loss kernel "
+            "(affine in-kernel fold backward)")
         params = {"diffuse": scene.materials.diffuse,
                   "emissive": scene.materials.emissive}
-        target = jnp.zeros((band_rows, width, 3), jnp.float32)
-        fn = jax.jit(lambda p, f0, y0: fused(p, target, 7, f0, y0,
-                                             band_rows))
-        n_bands = height // band_rows
-        log(f"fwd+bwd: {n_bands} bands of {band_rows} rows, "
-            "dual-buffer loss")
+        # ONE full-frame call per step, several steps per timing window,
+        # segment counts read only after the window's block: a 270-row
+        # band decomposition with a per-call ``int(segs)`` sync measured
+        # 410 Mrays/s where the full-frame sync-free schedule measures
+        # ~1.7 Grays/s — the gap was per-call relay dispatch latency
+        # (~20 ms/call), not device time (r5 probes 1/3/5).
+        target = jnp.zeros((height, width, 3), jnp.float32)
+        fn = jax.jit(lambda p, f0: fused(p, target, 7, f0, 0, height))
+        log("fwd+bwd: full-frame dual-buffer loss, one kernel call/step")
         t0 = time.time()
-        loss, grads, segs = fn(params, 1, 0)
+        loss, grads, segs = fn(params, 1)
         jax.block_until_ready(grads)
         log(f"fwd+bwd compile+first: {time.time()-t0:.1f}s "
-            f"segs={int(segs)}")
+            f"segs={int(segs)} (both buffers)")
+        calls = 10
         rates = []
         for it in range(iters):
             t0 = time.time()
-            total = 0
-            for bnd in range(n_bands):
-                loss, grads, segs = fn(params, it * n_bands + bnd + 2,
-                                       bnd * band_rows)
-                total += int(segs)
+            ss = []
+            for c in range(calls):
+                loss, grads, segs = fn(params, it * calls + c + 2)
+                ss.append(segs)
             jax.block_until_ready(grads)
             dt = time.time() - t0
+            total = sum(int(s) for s in ss)
             rates.append(total / dt)
-            log(f"fwd+bwd iter {it}: {dt*1e3:.0f} ms, "
+            log(f"fwd+bwd iter {it}: {dt/calls*1e3:.1f} ms/step, "
                 f"{total/dt/1e6:.1f} Mrays/s")
         return summarize(rates)
 
@@ -417,13 +505,21 @@ def main():
 
     def run(name, fn):
         try:
-            metrics[name] = fn()
-            log(f"{name}: {metrics[name]:.3e}")
+            res = fn()
+            if isinstance(res, dict):
+                metrics.update(res)
+                for k, v in res.items():
+                    log(f"{k}: {v:.3e}")
+            else:
+                metrics[name] = res
+                log(f"{name}: {metrics[name]:.3e}")
         except Exception as e:  # aux rows are informational; keep going
             log(f"{name} failed: {type(e).__name__}: {e}")
 
     run("mesh_100k_rays_per_sec", bench_mesh)
+    run("mesh_cached_100k_rays_per_sec", lambda: bench_mesh(cached=True))
     run("fwdbwd_1080p_4spp_rays_per_sec", bench_fwdbwd)
+    run("affine_image", bench_affine)
     run("mesh_grad_100k_rays_per_sec", bench_mesh_grad)
     run("scene_sharded_rays_per_sec", bench_scene_sharded)
     # BASELINE config 2: specular/glossy mix, 4 bounces, 16spp at 512².

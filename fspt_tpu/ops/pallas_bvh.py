@@ -289,11 +289,12 @@ def make_mesh_intersector(scene_pack, block_rays: int = 64,
     v1 = v0 + np.asarray(fine.tri_e1)[order]
     v2 = v0 + np.asarray(fine.tri_e2)[order]
     coarse = build_treelet_chunks(v0, v1, v2)
+    tt = {k: jnp.asarray(vv) for k, vv in treelet_tables(coarse).items()}
     trav = make_culled_traverser(coarse, block_rays=block_rays,
                                  sub_bundles=sub_bundles, group=group,
                                  interpret=interpret,
                                  pipeline_depth=pipeline_depth,
-                                 **trav_kwargs)
+                                 tables=tt, **trav_kwargs)
     ts = scene_pack.tri_shade
 
     # Mesh bounds for t clipping: every triangle hit lies inside this box,
@@ -330,6 +331,10 @@ def make_mesh_intersector(scene_pack, block_rays: int = 64,
             n = start.shape[0]
             if sort == "seg" and n % SORT_SEG == 0:
                 order = morton_order_segmented(start, seg, alive, lo_j, hi_j)
+            elif sort == "cullsim":
+                key = cullsim_keys(start, seg, alive, t_init, lo_j, hi_j,
+                                   tt["lbmin"], tt["lbmax"])
+                order = jnp.argsort(key)
             else:
                 key = morton_keys(start, seg, alive, lo_j, hi_j)
                 order = jnp.argsort(key)
@@ -763,6 +768,57 @@ def morton_keys(start, seg, alive, lo, hi):
     if alive is not None:
         key = jnp.where(alive, key, jnp.int32(1 << 30))
     return key
+
+
+def nearest_leaf_ids(start, seg, t_init, lbmin, lbmax, chunk: int = 1 << 13):
+    """Per-ray id of the nearest culled treelet (argmin slab entry-t).
+
+    The cull-list-similarity blocking key (VERDICT r3 #1c / r4 #3b): two
+    rays whose nearest treelet matches tend to share most of their cull
+    list, so sorting on (nearest leaf, Morton tiebreak) forms blocks with
+    tighter unions than raw 6-D Morton.  Runs the exact per-ray slab test
+    (the same math as the per-ray cull) in ``chunk``-ray slices via
+    ``lax.map`` to bound the [rays, leaves] lattice.  Rays overlapping no
+    leaf (or dead, t_init<=0) report ``L`` so they cluster at the end.
+    """
+    n = start.shape[0]
+    L = lbmin.shape[0]
+    big = jnp.float32(3.0e38)
+    pad = (-n) % chunk
+    s = jnp.pad(start, ((0, pad), (0, 0)))
+    g = jnp.pad(seg, ((0, pad), (0, 0)), constant_values=1.0)
+    t0 = jnp.pad(t_init, (0, pad))
+
+    def one(args):
+        sb, gb, tb = args
+        r = 1.0 / jnp.where(jnp.abs(gb) < 1e-30,
+                            jnp.where(gb >= 0, 1e-30, -1e-30), gb)
+        ta = (lbmin[None] - sb[:, None]) * r[:, None]
+        tbx = (lbmax[None] - sb[:, None]) * r[:, None]
+        t_lo = jnp.max(jnp.minimum(ta, tbx), axis=-1)
+        t_hi = jnp.min(jnp.maximum(ta, tbx), axis=-1)
+        ok = ((t_lo <= t_hi) & (t_hi >= 0.0)
+              & (t_lo <= jnp.minimum(tb, 1.0)[:, None])
+              & (tb > 0.0)[:, None])
+        key = jnp.where(ok, jnp.maximum(t_lo, 0.0), big)
+        nl = jnp.argmin(key, axis=1).astype(jnp.int32)
+        return jnp.where(jnp.any(ok, axis=1), nl, L)
+
+    nl = jax.lax.map(one, (s.reshape(-1, chunk, 3),
+                           g.reshape(-1, chunk, 3),
+                           t0.reshape(-1, chunk)))
+    return nl.reshape(-1)[:n]
+
+
+def cullsim_keys(start, seg, alive, t_init, lo, hi, lbmin, lbmax):
+    """Block-formation sort key: nearest-treelet id (major) with a 6-D
+    Morton tiebreak (minor).  Dead lanes sort last."""
+    nl = nearest_leaf_ids(start, seg, t_init, lbmin, lbmax)
+    L = lbmin.shape[0]
+    if alive is not None:
+        nl = jnp.where(alive, nl, L + 1)
+    mk = morton_keys(start, seg, None, lo, hi)
+    return nl * (1 << 20) + ((mk >> 10) & 0xFFFFF)
 
 
 def make_sorted_intersector(inner, scene_lo, scene_hi):

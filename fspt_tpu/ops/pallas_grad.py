@@ -51,6 +51,7 @@ from fspt_tpu.ops.pallas_path import (
     MosaicOps,
     build_fused_raygen,
     build_path_core,
+    build_traced_raygen,
     fold_deferred_params,
 )
 
@@ -58,24 +59,43 @@ DEFAULT_BLOCK_ROWS = 16  # 289 vs 271 Mrays/s at 8 on the 1080p bench (r3)
 
 VEC3_FIELDS = ("diffuse", "emissive", "glow")
 SCALAR_FIELDS = ("param", "ior", "reflectivity", "frost")
+#: Pseudo-field: the 9 traced camera scalars (pallas_path.camera_pvec
+#: layout) — always packed LAST, after the material-table columns.
+CAMERA_FIELD = "camera"
+
+
+def _field_size(mats: HostMaterials, f: int) -> int:
+    if f == CAMERA_FIELD:
+        from fspt_tpu.ops.pallas_path import CAMERA_PARAM_COUNT
+
+        return CAMERA_PARAM_COUNT
+    return (3 if f in VEC3_FIELDS else 1) * mats.count
 
 
 def param_count(mats: HostMaterials, fields) -> int:
-    return sum((3 if f in VEC3_FIELDS else 1) * mats.count for f in fields)
+    return sum(_field_size(mats, f) for f in fields)
+
+
+def _ordered(fields):
+    """Canonical pack order: material columns first, camera last."""
+    mat = [f for f in fields if f != CAMERA_FIELD]
+    return tuple(mat) + ((CAMERA_FIELD,) if CAMERA_FIELD in fields else ())
 
 
 def pack_params(params: dict, fields):
-    """Flatten {field: column} (in ``fields`` order) into one f32 vector."""
+    """Flatten {field: column} (canonical order, camera last) into one
+    f32 vector."""
     return jnp.concatenate(
-        [jnp.asarray(params[f], jnp.float32).reshape(-1) for f in fields])
+        [jnp.asarray(params[f], jnp.float32).reshape(-1)
+         for f in _ordered(fields)])
 
 
 def unpack_params(pvec, mats: HostMaterials, fields) -> dict:
     """Inverse of pack_params (works on grads too)."""
     out = {}
     off = 0
-    for f in fields:
-        n = (3 if f in VEC3_FIELDS else 1) * mats.count
+    for f in _ordered(fields):
+        n = _field_size(mats, f)
         col = pvec[off:off + n]
         out[f] = col.reshape(mats.count, 3) if f in VEC3_FIELDS else col
         off += n
@@ -544,7 +564,12 @@ def make_fused_loss_grad_fn(scene_pack, camera, cfg,
     sky_idx = int(scene_pack.sky_mat)
     cam = HostCamera(camera, cfg.width, cfg.height)
     raygen = build_fused_raygen(cam, cfg)
+    fields = _ordered(fields)
+    use_camera = CAMERA_FIELD in fields
+    mat_fields = tuple(f for f in fields if f != CAMERA_FIELD)
     P = param_count(mats, fields)
+    P_mat = param_count(mats, mat_fields)
+    traygen = build_traced_raygen(cam, cfg) if use_camera else None
     f32 = jnp.float32
     FK = PATH_FLOAT_KEYS
     D = cfg.effective_depth
@@ -585,18 +610,26 @@ def make_fused_loss_grad_fn(scene_pack, camera, cfg,
 
             (ax, ay, az, bx, by, bz), vjp = jax.vjp(fold6, *pvals)
         elif remat:
+            mat_vals = pvals[:P_mat]
+            cam_vals = pvals[P_mat:]
+
             def stepper(pv):
-                tv = _TableView(mats, fields, list(pv))
+                tv = _TableView(mats, mat_fields, list(pv))
                 return build_path_core(scene, mats, cfg, sky_idx, cam.z_far,
                                        ops=MosaicOps, tmats=tv,
                                        return_stepper=True, want_aovs=False)
 
+            def gen_rays(s0):
+                if use_camera:
+                    return traygen(cam_vals, h0_ref[0], s0, l0_ref[0],
+                                   shape, pid)
+                return raygen(h0_ref[0], s0, l0_ref[0], shape, pid)
+
             def forward_one(s0):
                 """Trace one buffer, saving every bounce-boundary state."""
-                sx, sy, sz, dx, dy, dz, pix_i, smp_i = raygen(
-                    h0_ref[0], s0, l0_ref[0], shape, pid)
+                sx, sy, sz, dx, dy, dz, pix_i, smp_i = gen_rays(s0)
                 h0_i = jnp.full(shape, h0_ref[0], jnp.int32)
-                init, stp, fin = stepper(pvals)
+                init, stp, fin = stepper(mat_vals)
                 st = init(h0_i, sx, sy, sz, dx, dy, dz, pix_i, smp_i)
                 bnds = []
                 for d in range(D):
@@ -605,9 +638,11 @@ def make_fused_loss_grad_fn(scene_pack, camera, cfg,
                 outs = fin(st, [])
                 return (outs[0], outs[1], outs[2], outs[8]), st, bnds
 
-            def backward_one(cL, st_fin, bnds):
-                """Reverse sweep: re-trace + vjp one bounce at a time."""
-                _, _, fin0 = stepper(pvals)
+            def backward_one(cL, st_fin, bnds, s0):
+                """Reverse sweep: re-trace + vjp one bounce at a time;
+                the initial-state cotangent then flows through the traced
+                raygen for the camera scalars (use_camera)."""
+                _, _, fin0 = stepper(mat_vals)
 
                 def fin_f(fvals):
                     s = dict(st_fin)
@@ -629,10 +664,27 @@ def make_fused_loss_grad_fn(scene_pack, camera, cfg,
                         s2, _ = stp(d, s)
                         return tuple(s2[k] for k in FK)
 
-                    _, vjp_d = jax.vjp(step_f, tuple(pvals),
+                    _, vjp_d = jax.vjp(step_f, tuple(mat_vals),
                                        tuple(st_d[k] for k in FK))
                     cpv, cot = vjp_d(tuple(cot))
-                    gacc = [g + c for g, c in zip(gacc, cpv)]
+                    gacc = [g + c for g, c in
+                            zip(gacc[:P_mat], cpv)] + gacc[P_mat:]
+                if use_camera:
+                    init0, _, _ = stepper(mat_vals)
+
+                    def init_f(cam_pv):
+                        sx, sy, sz, dx, dy, dz, pix_i, smp_i = traygen(
+                            list(cam_pv), h0_ref[0], s0, l0_ref[0], shape,
+                            pid)
+                        h0_i = jnp.full(shape, h0_ref[0], jnp.int32)
+                        st0 = init0(h0_i, sx, sy, sz, dx, dy, dz, pix_i,
+                                    smp_i)
+                        return tuple(st0[k] for k in FK)
+
+                    _, vjp_i = jax.vjp(init_f, tuple(cam_vals))
+                    (gcam,) = vjp_i(tuple(cot))
+                    gacc = gacc[:P_mat] + [g + c for g, c in
+                                           zip(gacc[P_mat:], gcam)]
                 return gacc
 
             (ax, ay, az, sega), stA, bndA = forward_one(s0a_ref[0])
@@ -640,15 +692,23 @@ def make_fused_loss_grad_fn(scene_pack, camera, cfg,
             segc = sega + segb
         else:
             def make_f(s0):
-                sx, sy, sz, dx, dy, dz, pix_i, smp_i = raygen(
-                    h0_ref[0], s0, l0_ref[0], shape, pid)
                 h0_i = jnp.full(shape, h0_ref[0], jnp.int32)
+                if not use_camera:
+                    sx, sy, sz, dx, dy, dz, pix_i, smp_i = raygen(
+                        h0_ref[0], s0, l0_ref[0], shape, pid)
 
                 def f(*pv):
-                    tv = _TableView(mats, fields, list(pv))
+                    tv = _TableView(mats, mat_fields, list(pv[:P_mat]))
+                    if use_camera:
+                        # Raygen inside the differentiated body: the
+                        # whole-chain vjp covers rays → hits → shading.
+                        rs = traygen(list(pv[P_mat:]), h0_ref[0], s0,
+                                     l0_ref[0], shape, pid)
+                    else:
+                        rs = (sx, sy, sz, dx, dy, dz, pix_i, smp_i)
                     core = build_path_core(scene, mats, cfg, sky_idx,
                                            cam.z_far, ops=MosaicOps, tmats=tv)
-                    outs = core(h0_i, sx, sy, sz, dx, dy, dz, pix_i, smp_i)
+                    outs = core(h0_i, *rs)
                     return outs[0], outs[1], outs[2], outs[8]
 
                 return f
@@ -677,8 +737,10 @@ def make_fused_loss_grad_fn(scene_pack, camera, cfg,
         if use_affine:
             gs = vjp((rxb * w, ryb * w, rzb * w, rxa * w, rya * w, rza * w))
         elif remat:
-            gA = backward_one((rxb * w, ryb * w, rzb * w), stA, bndA)
-            gB = backward_one((rxa * w, rya * w, rza * w), stB, bndB)
+            gA = backward_one((rxb * w, ryb * w, rzb * w), stA, bndA,
+                              s0a_ref[0])
+            gB = backward_one((rxa * w, rya * w, rza * w), stB, bndB,
+                              s0b_ref[0])
             gs = [a + b for a, b in zip(gA, gB)]
         else:
             gs = vjp((rxb * w, ryb * w, rzb * w, rxa * w, rya * w, rza * w))

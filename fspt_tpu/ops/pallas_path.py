@@ -1122,6 +1122,9 @@ def build_fused_raygen(cam: HostCamera, cfg):
         col_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         flat = lane0_s + (pid * shape[0] + rows_ids) * LANE + col_ids
 
+        # Integer div/mod by the (possibly non-pow2) width measured
+        # perf-neutral vs a reciprocal-multiply trick on v5e (r5 probe 6):
+        # Mosaic's lowering is fine — keep the plain form.
         s = jnp.remainder(flat, spp)
         pxy = flat // spp
         x = jnp.remainder(pxy, width)
@@ -1179,6 +1182,153 @@ def build_fused_raygen(cam: HostCamera, cfg):
             dy = jnp.where(valid, ndy * zf, dy)
             dz = jnp.where(valid, ndz * zf, dz)
 
+        return sx, sy, sz, dx, dy, dz, pix_i, smp_i
+
+    return raygen
+
+
+#: Packed camera-parameter layout for the traced raygen / camera-gradient
+#: kernels: [origin(3), target(3), fov_y(deg), aperture, focal_depth].
+CAMERA_PARAM_COUNT = 9
+
+
+def camera_pvec(camera):
+    """Pack a Camera into the traced raygen's 9-vector (host side)."""
+    f32 = lambda x: jnp.asarray(x, jnp.float32).reshape(-1)
+    return jnp.concatenate([
+        f32(camera.origin), f32(camera.target), f32(camera.fov_y),
+        f32(camera.aperture_size), f32(camera.focal_depth)])
+
+
+def camera_from_pvec(camera, pvec):
+    """Unpack a traced 9-vector back into ``camera``'s pytree."""
+    return camera._replace(origin=pvec[0:3], target=pvec[3:6],
+                           fov_y=pvec[6], aperture_size=pvec[7],
+                           focal_depth=pvec[8])
+
+
+@jax.custom_vjp
+def _keep_finite(x):
+    """Identity whose backward zeroes non-finite cotangents.
+
+    The traced raygen's vjp reduces per-lane ray cotangents into 9 camera
+    scalars, so a single degenerate lane (rsqrt/normalize vjp at a
+    grazing or invalid-DoF lane evaluates x^{-3/2}→inf against a zero
+    cotangent → NaN) would poison the whole gradient — the same boundary
+    ops/diff_path.py sanitizes on the XLA planar path."""
+    return x
+
+
+def _kf_fwd(x):
+    return x, None
+
+
+def _kf_bwd(_, ct):
+    return (jnp.where(jnp.isfinite(ct), ct, 0.0),)
+
+
+_keep_finite.defvjp(_kf_fwd, _kf_bwd)
+
+
+def build_traced_raygen(cam: HostCamera, cfg):
+    """Primary-ray generation with TRACED camera parameters.
+
+    Mirror of :func:`build_fused_raygen` (reference engine.cpp:184-244)
+    whose camera basis, projection extents and focal plane are recomputed
+    from 9 traced scalars (:data:`CAMERA_PARAM_COUNT` layout) — so an
+    in-kernel ``jax.vjp`` over them yields exact camera-pose gradients.
+    ``cam`` supplies only static structure: z_far and whether the DoF
+    code is generated at all (``cam.aperture > 0`` — with a statically
+    pinhole camera, aperture/focal cotangents are structurally zero).
+
+    Returns ``raygen(cam_vals, h0_s, s0_s, lane0_s, shape, pid) → (sx,
+    sy, sz, dx, dy, dz, pix_i, smp_i)``; ``cam_vals`` is a 9-sequence of
+    traced f32 scalars.
+    """
+    width, spp = cfg.width, cfg.spp
+    inv_wm1 = 1.0 / (cfg.width - 1)
+    inv_hm1 = 1.0 / (cfg.height - 1)
+    aspect = cfg.width / cfg.height
+    zf = cam.z_far
+    deg = float(vm.PI) / 180.0
+
+    def raygen(cv, h0_s, s0_s, lane0_s, shape, pid):
+        ox, oy, oz, tx, ty, tz, fov_deg, aperture, focal = cv
+        # Basis (engine.cpp:187-189, world up = +Y): forward = normalize
+        # (target-origin); right = normalize(cross(+Y, fwd)) = (fz,0,-fx)/n;
+        # up = cross(fwd, right).
+        fx, fy, fz = tx - ox, ty - oy, tz - oz
+        fin = jax.lax.rsqrt(fx * fx + fy * fy + fz * fz)
+        fx, fy, fz = fx * fin, fy * fin, fz * fin
+        rin = jax.lax.rsqrt(jnp.maximum(fx * fx + fz * fz, 1e-20))
+        rx, ry, rz = fz * rin, jnp.float32(0.0), -fx * rin
+        ux = fy * rz - fz * ry
+        uy = fz * rx - fx * rz
+        uz = fx * ry - fy * rx
+        # tan(fovx/2) = tan(fovy/2)·aspect exactly (fovx = 2·atan(·)).
+        th = jnp.tan(fov_deg * (0.5 * deg))
+        half_h = th * zf
+        half_w = th * aspect * zf
+        pox, poy, poz = ox + fx * zf, oy + fy * zf, oz + fz * zf
+
+        rows_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        flat = lane0_s + (pid * shape[0] + rows_ids) * LANE + col_ids
+        s = jnp.remainder(flat, spp)
+        pxy = flat // spp
+        x = jnp.remainder(pxy, width)
+        y = pxy // width
+        pix_i = y * width + x
+        smp_i = s + s0_s
+        pix = pltpu.bitcast(pix_i, U32)
+        smp = pltpu.bitcast(smp_i, U32)
+        h0 = pltpu.bitcast(jnp.full(shape, h0_s, jnp.int32), U32)
+
+        u0 = _stream_uniform(MosaicOps, h0, pix, smp, 0)
+        u1 = _stream_uniform(MosaicOps, h0, pix, smp, 1)
+        xf = x.astype(jnp.float32) + (u0 - 0.5)
+        yf = y.astype(jnp.float32) + (u1 - 0.5)
+        x_dist = half_w * ((xf * inv_wm1) * 2.0 - 1.0)
+        y_dist = half_h * ((yf * inv_hm1) * 2.0 - 1.0)
+
+        stopx = pox + rx * x_dist + ux * y_dist
+        stopy = poy + ry * x_dist + uy * y_dist
+        stopz = poz + rz * x_dist + uz * y_dist
+        one = jnp.ones(shape, jnp.float32)
+        sx, sy, sz = ox * one, oy * one, oz * one
+        dx, dy, dz = stopx - sx, stopy - sy, stopz - sz
+
+        if cam.aperture > 0.0:
+            # Thin-lens DoF (engine.cpp:221-244); focal plane normal is
+            # -forward through origin + forward·focal.
+            u2 = _stream_uniform(MosaicOps, h0, pix, smp, 2)
+            u3 = _stream_uniform(MosaicOps, h0, pix, smp, 3)
+            px, py, pz = ox + fx * focal, oy + fy * focal, oz + fz * focal
+            fpw = px * fx + py * fy + pz * fz  # -dot(n, p) with n = -fwd
+            ts = -(fx * dx + fy * dy + fz * dz)
+            ns = -(-(fx * sx + fy * sy + fz * sz) + fpw)
+            not_par = jnp.abs(ts) >= vm.EPSILON
+            tf = ns / jnp.where(not_par, ts, 1.0)
+            valid = not_par & (tf >= 0.0) & (tf <= 1.0)
+            fxp, fyp, fzp = sx + dx * tf, sy + dy * tf, sz + dz * tf
+            angle = u2 * (2.0 * vm.PI)
+            mag = jnp.sqrt(u3) * aperture
+            offc = jnp.cos(angle) * mag
+            offs = jnp.sin(angle) * mag
+            ax = rx * offc + ux * offs
+            ay = ry * offc + uy * offs
+            az = rz * offc + uz * offs
+            nsx, nsy, nsz = sx + ax, sy + ay, sz + az
+            ndx, ndy, ndz = _norm3(fxp - nsx, fyp - nsy, fzp - nsz)
+            sx = jnp.where(valid, nsx, sx)
+            sy = jnp.where(valid, nsy, sy)
+            sz = jnp.where(valid, nsz, sz)
+            dx = jnp.where(valid, ndx * zf, dx)
+            dy = jnp.where(valid, ndy * zf, dy)
+            dz = jnp.where(valid, ndz * zf, dz)
+
+        sx, sy, sz = _keep_finite(sx), _keep_finite(sy), _keep_finite(sz)
+        dx, dy, dz = _keep_finite(dx), _keep_finite(dy), _keep_finite(dz)
         return sx, sy, sz, dx, dy, dz, pix_i, smp_i
 
     return raygen

@@ -64,7 +64,8 @@ def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissiv
                        lr: float = 0.5, optimizer=None, constraints=None,
                        apply_fn=_apply_params, pool: int = 8,
                        intersector_bind=None, render_fn=None,
-                       pair_render_fn=None):
+                       pair_render_fn=None, loss_fn=None,
+                       loss_and_grad_fn=None):
     """Build a jitted sharded optimizer step on the named material-table columns.
 
     Returns ``step(params, scene, camera, target, seed, frame_idx) ->
@@ -80,6 +81,17 @@ def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissiv
     shard bands, so the objective depends on the device count unless
     ``pool == 1`` (which is exactly the unpooled dual-buffer product and is
     shard-count invariant).
+
+    ``loss_fn(img_a, img_b, target_local) → scalar`` replaces the pooled
+    dual-buffer product with an arbitrary image objective (the two
+    independently-sampled renders let unbiased estimators pair them;
+    single-buffer losses just use ``img_a``).
+
+    ``loss_and_grad_fn(params, target_local, seed, frame_idx, y0, rows) →
+    (loss, grads, segments)`` bypasses XLA AD entirely — the hook for the
+    fused Pallas loss kernel (ops/pallas_grad.make_fused_loss_grad_fn),
+    which computes the dual-buffer loss AND its parameter gradient in one
+    kernel call per band.  Mutually exclusive with the render hooks.
     """
     n = mesh.devices.size
     if cfg.height % n != 0:
@@ -121,6 +133,8 @@ def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissiv
                                       rows_local, intersector=inter)
             img_b = render_image_rows(scene, camera, cfg, seed, frame_idx + 10007,
                                       y0, rows_local, intersector=inter)
+        if loss_fn is not None:
+            return loss_fn(img_a, img_b, target_local)
         da = _pool(img_a - target_local, pool)
         db = _pool(img_b - target_local, pool)
         return jnp.mean(da * db)
@@ -130,9 +144,13 @@ def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissiv
     def local_step(params, opt_state, scene, camera, target_local, seed, frame_idx):
         band = jax.lax.axis_index(RAY_AXIS)
         y0 = band * rows_local
-        loss, grads = jax.value_and_grad(local_loss)(
-            params, scene, camera, target_local, seed, frame_idx, y0
-        )
+        if loss_and_grad_fn is not None:
+            loss, grads, _segs = loss_and_grad_fn(
+                params, target_local, seed, frame_idx, y0, rows_local)
+        else:
+            loss, grads = jax.value_and_grad(local_loss)(
+                params, scene, camera, target_local, seed, frame_idx, y0
+            )
         loss = jax.lax.pmean(loss, RAY_AXIS)
         grads = jax.lax.pmean(grads, RAY_AXIS)
         if use_optax:
@@ -187,24 +205,55 @@ def make_recovery_step(mesh, cfg: RenderConfig, param_names=("diffuse", "emissiv
 def make_fused_recovery_step(mesh, scene, camera, cfg: RenderConfig,
                              fields=("diffuse", "emissive"), lr: float = 0.5,
                              optimizer=None, constraints=None, pool: int = 8,
-                             **tracer_kwargs):
-    """Sharded material recovery on the fused Pallas fwd+bwd kernels
-    (ops/pallas_grad.py): each device renders its band with the megakernel
-    forward and backpropagates through the in-kernel adjoint; parameter
-    gradients pmean across the mesh.  The multi-chip form of the r3 headline
-    fwd+bwd path — "the fast path × N workers" (reference engine.cpp:261-274).
+                             loss_fn=None, **tracer_kwargs):
+    """ONE gradient front door: sharded recovery on the fused Pallas
+    fwd+bwd machinery (ops/pallas_grad.py), fastest applicable
+    construction chosen automatically —
 
-    ``params`` for the returned step is a dict of the selected table columns
-    (e.g. {"diffuse": [M,3], "emissive": [M,3]}).  Scene and camera are
-    baked into the kernels (recompile on change).  Raises ValueError when
-    the scene can't be specialized (use make_recovery_step then).
+    1. the single fused LOSS KERNEL (dual-buffer loss + every parameter
+       gradient in one Pallas call per band; covers material columns AND
+       the traced-raygen ``"camera"`` 9-vector, pallas_path.camera_pvec)
+       when the default lane-level loss applies (``pool=1``, no custom
+       ``loss_fn``),
+    2. the in-kernel-adjoint kernel pair (band images via custom VJP),
+    3. the affine-deferred fold (textured scenes / ``"texels"`` recovery,
+       radiometric fields, arbitrary image losses through XLA AD of
+       loss∘fold).
+
+    Parameter gradients pmean across the mesh — the multi-chip form of the
+    headline fwd+bwd path ("the fast path × N workers", reference
+    engine.cpp:261-274).
+
+    ``params`` for the returned step is a dict of the selected fields
+    (e.g. {"diffuse": [M,3], "camera": camera_pvec(cam)}).  Scene and the
+    static camera are baked into the kernels (a live-recovered camera
+    rides in ``params["camera"]``).  ``loss_fn(img_a, img_b, target)``
+    swaps in an arbitrary image objective on constructions 2-3.  Raises
+    ValueError when the scene can't be specialized (use
+    make_recovery_step then).
     """
-    from fspt_tpu.ops.pallas_grad import (make_affine_grad_image_fn,
+    from fspt_tpu.ops.pallas_grad import (CAMERA_FIELD,
+                                          make_affine_grad_image_fn,
+                                          make_fused_loss_grad_fn,
                                           make_grad_image_fn)
 
+    if loss_fn is None and pool == 1 and "texels" not in fields:
+        fused = make_fused_loss_grad_fn(scene, camera, cfg, fields=fields,
+                                        **tracer_kwargs)
+        if fused is not None:
+            return make_recovery_step(mesh, cfg, param_names=fields, lr=lr,
+                                      optimizer=optimizer,
+                                      constraints=constraints, pool=1,
+                                      loss_and_grad_fn=fused)
+    if CAMERA_FIELD in fields:
+        raise ValueError("camera recovery needs the fused loss kernel "
+                         "(untextured specialized scene, pool=1, default "
+                         "loss)")
+
     # Untextured scenes: the in-kernel-adjoint pair (fastest measured
-    # fwd+bwd).  Textured scenes / texel recovery: the affine-deferred
-    # fold — radiometric fields only (path geometry can't depend on them).
+    # fwd+bwd with a custom/pooled loss).  Textured scenes / texel
+    # recovery: the affine-deferred fold — radiometric fields only (path
+    # geometry can't depend on them).
     radiometric = {"diffuse", "emissive", "glow", "texels"}
     img_fn = None
     if "texels" not in fields:
@@ -223,7 +272,8 @@ def make_fused_recovery_step(mesh, scene, camera, cfg: RenderConfig,
 
     return make_recovery_step(mesh, cfg, param_names=fields, lr=lr,
                               optimizer=optimizer, constraints=constraints,
-                              pool=pool, render_fn=render_fn)
+                              pool=pool, render_fn=render_fn,
+                              loss_fn=loss_fn)
 
 
 def make_vertex_recovery_step(mesh, cfg: RenderConfig, lr: float = 0.05,
@@ -246,7 +296,7 @@ def make_bvh_vertex_recovery_step(mesh, cfg: RenderConfig, scene,
                                   pool: int = 1, shade_normals="flat",
                                   queue: int | None = None,
                                   use_queue: bool = False,
-                                  replay: str = "auto",
+                                  replay: str = "wavefront",
                                   **fast_kwargs):
     """Vertex recovery on a BVH-scale scene (100k+ triangles) by TWO-PHASE
     hit-id replay:
@@ -277,12 +327,15 @@ def make_bvh_vertex_recovery_step(mesh, cfg: RenderConfig, scene,
     vertices so lighting follows the surface; "fixed" keeps the baked
     shading normals.
 
-    ``replay`` selects the phase-2 renderer: ``"planar"`` = the
-    component-planar path body (ops/diff_intersect.
-    make_planar_recorded_replay — no (8,128) tile-padding tax on loop
-    state or saved residuals), ``"wavefront"`` = the general integrator,
-    ``"auto"`` = planar when the scene's analytic part can be
-    specialized, wavefront otherwise.
+    ``replay`` selects the phase-2 renderer: ``"wavefront"`` (default) =
+    the general integrator; ``"planar"`` = the component-planar path body
+    (ops/diff_intersect.make_planar_recorded_replay).  The planar form
+    avoids the (8,128) tile-padding tax on loop state, but measured
+    STRICTLY WORSE end-to-end (933 vs 727 ms/step at the bench config,
+    no compile-time win — r5 probe 10): the step is dominated by the
+    phase-1 record (~80%), and the planar body re-runs the baked analytic
+    intersect per bounce where the wavefront replay reuses recorded hits.
+    It remains selectable for experiments; ``"auto"`` = wavefront.
     """
     import dataclasses
 
@@ -304,11 +357,11 @@ def make_bvh_vertex_recovery_step(mesh, cfg: RenderConfig, scene,
     cfg2 = dataclasses.replace(cfg, spp=2 * cfg.spp)
     q = queue or DEFAULT_QUEUE
     planar = None
-    if replay in ("auto", "planar"):
+    if replay == "planar":
         # z_far is baked into the planar body; every Camera.create in this
         # codebase uses the reference default 10000 (camera.py).
         planar = make_planar_recorded_replay(scene, cfg2, z_far=10000.0)
-        if planar is None and replay == "planar":
+        if planar is None:
             raise ValueError("scene can't use the planar replay "
                              "(textured or too many analytic prims)")
 

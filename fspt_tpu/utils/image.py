@@ -445,8 +445,9 @@ def write_ppm(path: str, image_u8: np.ndarray):
         f.write(np.ascontiguousarray(image_u8).tobytes())
 
 
-def write_png(path: str, image_u8: np.ndarray):
-    """Minimal PNG writer (RGB8) using zlib — no external deps."""
+def png_bytes(image_u8: np.ndarray) -> bytes:
+    """Minimal in-memory PNG encoder (RGB8) using zlib — no external deps.
+    Also serves the live preview stream (render/preview.py)."""
     h, w = image_u8.shape[:2]
     raw = b"".join(
         b"\x00" + np.ascontiguousarray(image_u8[i]).tobytes() for i in range(h)
@@ -457,10 +458,14 @@ def write_png(path: str, image_u8: np.ndarray):
         return out + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
 
     header = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", header)
-           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", header)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, image_u8: np.ndarray):
+    """Minimal PNG writer (RGB8) using zlib — no external deps."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(png_bytes(image_u8))
 
 
 def write_image(path: str, image_u8: np.ndarray):

@@ -161,3 +161,45 @@ def test_profiling_metrics():
     assert m["segments"] == 180
     np.testing.assert_allclose(m["bounce_occupancy"], [1.0, 0.6, 0.2])
     assert 0 < m["mean_occupancy"] < 1
+
+
+def test_preview_server_streams_and_controls():
+    """Live preview (reference main.cpp:114-165 analog): the HTTP server
+    streams PNG frames from a refining session and maps orbit/focus/fast
+    interactions onto /ctl."""
+    import threading
+    import urllib.request
+
+    from fspt_tpu.render.preview import PreviewServer
+
+    b = build_cornell_box()
+    cfg = RenderConfig(width=16, height=12, spp=1, max_depth=2)
+    srv = PreviewServer(RenderSession(b, cfg, seed=3), port=0)
+    t = threading.Thread(target=srv.httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{srv.host}:{srv.port}"
+    try:
+        page = urllib.request.urlopen(f"{base}/", timeout=30).read()
+        assert b"/stream" in page and b"16" in page
+
+        with urllib.request.urlopen(f"{base}/stream", timeout=120) as r:
+            assert "multipart/x-mixed-replace" in r.headers["Content-Type"]
+            buf = b""
+            while b"\x89PNG\r\n\x1a\n" not in buf:
+                chunk = r.read(256)
+                assert chunk, "stream ended before a PNG frame"
+                buf += chunk
+        assert srv.session.frame >= 1
+
+        old_origin = np.asarray(srv.session.camera.origin).copy()
+        msg = urllib.request.urlopen(f"{base}/ctl?yaw=0.3",
+                                     timeout=30).read()
+        assert b"camera origin" in msg
+        assert not np.allclose(np.asarray(srv.session.camera.origin),
+                               old_origin)
+
+        msg = urllib.request.urlopen(f"{base}/ctl?focus_x=8&focus_y=6",
+                                     timeout=60).read()
+        assert b"focus distance" in msg
+    finally:
+        srv.shutdown()

@@ -223,3 +223,23 @@ def test_ring_pipeline_matches_parity():
                           ("t", "id", "u", "v")):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c),
                                       err_msg=name)
+
+
+def test_cullsim_sort_matches_unsorted():
+    """Cull-list-similarity blocking (sort="cullsim": nearest-treelet
+    major key, Morton tiebreak) is also a pure permutation."""
+    builder = build_cornell_box()
+    v0, v1, v2 = _tris(300, seed=31)
+    off = np.array([0, -25, 0], np.float32)
+    builder.add_triangles(v0 * 0.2 + off, v1 * 0.2 + off, v2 * 0.2 + off, mat=0)
+    scene = builder.compile(bvh_threshold=64)
+    plain = make_mesh_intersector(scene, sort=False, block_rays=256)
+    srt = make_mesh_intersector(scene, sort="cullsim", block_rays=256)
+    start, seg = _rays(500, seed=32)
+    alive = jnp.asarray(np.random.RandomState(33).rand(500) > 0.3)
+    h0 = plain(start, seg, alive)
+    h1 = srt(start, seg, alive)
+    m = np.asarray(alive)
+    np.testing.assert_allclose(np.asarray(h0.t)[m], np.asarray(h1.t)[m],
+                               rtol=1e-4, atol=1e-6)
+    assert (np.asarray(h0.mat)[m] == np.asarray(h1.mat)[m]).mean() > 0.999

@@ -292,3 +292,81 @@ def test_fused_loss_grad_affine_rejects_scalar_fields():
     # auto mode silently falls back to the remat chain for scalar fields.
     assert make_fused_loss_grad_fn(scene, cam, cfg,
                                    fields=("diffuse", "param")) is not None
+
+
+def test_fused_loss_camera_gradient_matches_planar():
+    """Camera-pose cotangents from the fused loss kernel (traced in-kernel
+    raygen + whole-chain / per-bounce-remat vjp) equal the planar XLA
+    replay's AD of the identical lane-level loss — the planar camera
+    gradient is the baseline examples/recover_camera.py trains with."""
+    from fspt_tpu.camera import Camera
+    from fspt_tpu.ops.diff_path import make_diff_path
+    from fspt_tpu.ops.pallas_grad import make_fused_loss_grad_fn
+    from fspt_tpu.ops.pallas_path import camera_pvec
+
+    b = build_cornell_box(with_specular=True)
+    scene = b.compile()
+    # Thin-lens camera: aperture > 0 exercises the DoF code, so the
+    # gradient covers aperture/focal_depth too.
+    cam = Camera.create(origin=(3.0, -2.0, -140.0), target=(1.0, 0.5, 0.0),
+                        aperture_size=1.5, focal_depth=120.0)
+    cfg = RenderConfig(width=16, height=12, spp=2, max_depth=3)
+    rng = np.random.default_rng(2)
+    target = rng.random((cfg.height, cfg.width, 3)).astype(np.float32)
+    tgt_lane = jnp.repeat(jnp.asarray(target).reshape(-1, 3), cfg.spp,
+                          axis=0)
+    planar = make_diff_path(scene, cfg,
+                            z_far=float(np.asarray(cam.z_far)))
+
+    def ref_loss(cvec, f0):
+        c = cam._replace(origin=cvec[0:3], target=cvec[3:6], fov_y=cvec[6],
+                         aperture_size=cvec[7], focal_depth=cvec[8])
+        a = planar(scene.materials, c, 5, f0 * cfg.spp).radiance
+        bb = planar(scene.materials, c, 5, (f0 + 10007) * cfg.spp).radiance
+        return jnp.mean((a - tgt_lane) * (bb - tgt_lane))
+
+    cvec = camera_pvec(cam)
+    ref_v, ref_g = jax.value_and_grad(ref_loss)(cvec, 3)
+
+    for remat in (False, True):
+        fused = make_fused_loss_grad_fn(scene, cam, cfg, fields=("camera",),
+                                        remat=remat)
+        assert fused is not None
+        loss, grads, segs = fused({"camera": cvec}, jnp.asarray(target),
+                                  5, 3, 0, cfg.height)
+        np.testing.assert_allclose(float(loss), float(ref_v), rtol=1e-5,
+                                   err_msg=f"remat={remat}")
+        assert int(segs) > 0
+        np.testing.assert_allclose(np.asarray(grads["camera"]),
+                                   np.asarray(ref_g), rtol=2e-3, atol=1e-7,
+                                   err_msg=f"remat={remat}")
+
+
+def test_fused_loss_joint_material_camera_fields():
+    """One front door: material columns and the camera 9-vector recover
+    through the SAME fused kernel call; material grads must match the
+    camera-free kernel exactly (raygen refactor must not change streams)."""
+    from fspt_tpu.ops.pallas_grad import make_fused_loss_grad_fn
+    from fspt_tpu.ops.pallas_path import camera_pvec
+
+    scene, cam, cfg = _setup(width=16, height=8, spp=1, max_depth=2)
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(
+        rng.random((cfg.height, cfg.width, 3)).astype(np.float32))
+    params = {"diffuse": scene.materials.diffuse,
+              "emissive": scene.materials.emissive,
+              "camera": camera_pvec(cam)}
+    joint = make_fused_loss_grad_fn(
+        scene, cam, cfg, fields=("diffuse", "emissive", "camera"))
+    l1, g1, s1 = joint(params, target, 9, 2, 0, cfg.height)
+    assert set(g1) == {"diffuse", "emissive", "camera"}
+    assert np.all(np.isfinite(np.asarray(g1["camera"])))
+
+    base = make_fused_loss_grad_fn(scene, cam, cfg, affine=False)
+    l2, g2, s2 = base({k: params[k] for k in ("diffuse", "emissive")},
+                      target, 9, 2, 0, cfg.height)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    assert int(s1) == int(s2)
+    for k in g2:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=1e-4, atol=1e-8, err_msg=k)
