@@ -509,7 +509,7 @@ def make_fused_loss_grad_fn(scene_pack, camera, cfg,
                             fields=("diffuse", "emissive"),
                             block_rows: int = DEFAULT_BLOCK_ROWS,
                             interpret: bool | None = None,
-                            remat: bool = True,
+                            remat: bool = False,
                             affine: bool | None = None):
     """ONE kernel per band: dual-buffer loss AND parameter gradient.
 
@@ -532,13 +532,20 @@ def make_fused_loss_grad_fn(scene_pack, camera, cfg,
       fold.  The trace never enters the AD graph — path geometry cannot
       depend on radiometric values — so the backward is D steps of
       multiply-adds plus the per-parameter reductions.
+    * ``remat=False`` (default): whole-chain in-kernel vjp (the r4
+      form) — the general construction for scalar fields that bend rays
+      (param/ior/reflectivity/frost) and for ``"camera"``.
     * ``remat=True``: checkpoints the general adjoint at bounce
       boundaries — the forward saves only per-bounce float state
       (pallas_path.PATH_FLOAT_KEYS) and the backward re-traces ONE
       bounce at a time, vjp-ing it against the incoming state cotangent
-      (bounds the live set vs. the whole-chain vjp).  Required for
-      scalar fields that bend rays (param/ior/reflectivity/frost).
-    * ``remat=False``: whole-chain in-kernel vjp (the r4 form).
+      (bounds the live set vs. the whole-chain vjp).  CAUTION: interpret
+      mode (CPU) executes this construction exactly, but on real TPU the
+      Mosaic-compiled remat kernel returns wrong gradients (r5 probe 13:
+      whole-chain matches host-CPU AD to ~1e-4 at every tested config;
+      remat diverges by orders of magnitude) — a suspected Mosaic
+      miscompile of the longer kernel, under investigation.  Do not use
+      on TPU until resolved.
 
     All three produce identical gradients up to float re-association
     (pinned in tests/test_pallas_grad.py).
