@@ -41,9 +41,12 @@ def build_argparser():
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint path; resumes if it exists, saves each frame")
     p.add_argument("--checkpoint-every", type=int, default=8)
-    p.add_argument("--no-first-hit-cache", action="store_true",
-                   help="disable the static-camera first-hit cache on the "
-                        "BVH path (reference ImagePlaneCache analog)")
+    p.add_argument("--first-hit-cache", action="store_true",
+                   help="static-camera first-hit cache on the BVH path "
+                        "(reference ImagePlaneCache analog).  Exact, but "
+                        "measured slightly SLOWER than re-sweeping on the "
+                        "TPU design (primaries are the cheap coherent "
+                        "fraction of the treelet sweep) — see PERF_NOTES")
     return p
 
 
@@ -91,8 +94,8 @@ def main(argv=None):
         # depth-0 collisions come from a G-buffer built once up front.
         from fspt_tpu.render.dispatch import make_cached_scene_step
 
-        cname, cstep, cache_fn = (None, None, None) if args.no_first_hit_cache \
-            else make_cached_scene_step(scene, cfg)
+        cname, cstep, cache_fn = make_cached_scene_step(scene, cfg) \
+            if args.first_hit_cache else (None, None, None)
         if cstep is not None:
             print(f"render path: {cname}")
             first_hits = jax.jit(cache_fn)(scene, camera, args.seed)

@@ -47,7 +47,7 @@ class RenderSession:
     """Progressive render with reference-style interactions."""
 
     def __init__(self, builder, cfg: RenderConfig | None = None, seed: int = 0,
-                 camera_index: int = 0, first_hit_cache: bool = True):
+                 camera_index: int = 0, first_hit_cache: bool = False):
         self.builder = builder
         self.scene = builder.compile()
         self.camera = builder.cameras[camera_index] if builder.cameras else Camera.create()
@@ -62,6 +62,9 @@ class RenderSession:
         # while the camera is still, progressive frames on the BVH path
         # fetch depth-0 collisions from a persistent G-buffer keyed on the
         # camera pose; orbit/focus/reset invalidate it (main.cpp:142-143).
+        # Off by default: exact and tested, but measured ~0.9x the plain
+        # queued render on TPU — primaries are the cheap coherent
+        # fraction of the treelet sweep there (PERF_NOTES round 5).
         self.first_hit_cache = first_hit_cache
         self._cached = None   # (jit step, jit cache_fn) | False (n/a)
         self._fh = None       # current G-buffer

@@ -106,6 +106,23 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
             return intersector(o, d, alive)
         return intersector(o, d)
 
+    if first_hits is not None:
+        # Pack the cached Hit into one [n, 14] f32 table (ints bitcast,
+        # bools as 0/1) so each queue iteration fetches cached collisions
+        # with a SINGLE row gather.
+        bcf = lambda a: jax.lax.bitcast_convert_type(
+            jnp.asarray(a, jnp.int32), jnp.float32)
+        fh_tab = jnp.concatenate([
+            first_hits.t[:, None], first_hits.point, first_hits.normal,
+            first_hits.texcoords, bcf(first_hits.mat)[:, None],
+            bcf(first_hits.prim_kind)[:, None],
+            first_hits.hit.astype(jnp.float32)[:, None],
+            bcf(first_hits.prim_id if first_hits.prim_id is not None
+                else jnp.zeros((n,), jnp.int32))[:, None],
+            (first_hits.edge_dist if first_hits.edge_dist is not None
+             else jnp.zeros((n,), jnp.float32))[:, None],
+        ], axis=1)
+
     def refill(st):
         """Assign fresh primary rays to dead slots, in lane-id order."""
         dead = ~st["alive"]
@@ -171,26 +188,29 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         if first_hits is not None:
             # Depth-0 lanes fetch their collision from the cache; they
             # enter the intersector dead (t_init=0 → the sweep culls them
-            # to zero leaf visits) and their Hit fields are overwritten by
-            # the per-lane gather below.
+            # to zero leaf visits) and their Hit fields are overwritten
+            # from ONE packed-row gather (seven per-field [q]-row gathers
+            # from the [n]-lane tables each materialize at 2-3 ms/iter —
+            # the r3 wide-gather lesson; packing makes it one row fetch).
             cached0 = alive & (depth == 0)
             hit = intersect(o, d, alive & ~cached0)
             safe = jnp.maximum(st["lane_id"], 0)
             c3 = cached0[:, None]
+            row = fh_tab[safe]  # [q, C]
+            bc = lambda col: jax.lax.bitcast_convert_type(col, jnp.int32)
             hit = hit._replace(
-                t=jnp.where(cached0, first_hits.t[safe], hit.t),
-                point=jnp.where(c3, first_hits.point[safe], hit.point),
-                normal=jnp.where(c3, first_hits.normal[safe], hit.normal),
-                texcoords=jnp.where(c3, first_hits.texcoords[safe],
-                                    hit.texcoords),
-                mat=jnp.where(cached0, first_hits.mat[safe], hit.mat),
-                prim_kind=jnp.where(cached0, first_hits.prim_kind[safe],
+                t=jnp.where(cached0, row[:, 0], hit.t),
+                point=jnp.where(c3, row[:, 1:4], hit.point),
+                normal=jnp.where(c3, row[:, 4:7], hit.normal),
+                texcoords=jnp.where(c3, row[:, 7:9], hit.texcoords),
+                mat=jnp.where(cached0, bc(row[:, 9]), hit.mat),
+                prim_kind=jnp.where(cached0, bc(row[:, 10]),
                                     hit.prim_kind),
-                hit=jnp.where(cached0, first_hits.hit[safe], hit.hit),
+                hit=jnp.where(cached0, row[:, 11] > 0.5, hit.hit),
                 prim_id=None if hit.prim_id is None else jnp.where(
-                    cached0, first_hits.prim_id[safe], hit.prim_id),
+                    cached0, bc(row[:, 12]), hit.prim_id),
                 edge_dist=None if hit.edge_dist is None else jnp.where(
-                    cached0, first_hits.edge_dist[safe], hit.edge_dist),
+                    cached0, row[:, 13], hit.edge_dist),
             )
         else:
             hit = intersect(o, d, alive)

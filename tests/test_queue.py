@@ -206,7 +206,7 @@ def test_render_session_first_hit_cache_invalidation():
 
     b = build_bvh_scene(grid=10)
     cfg = RenderConfig(width=16, height=12, spp=1, max_depth=2)
-    s = RenderSession(b, cfg, seed=3)
+    s = RenderSession(b, cfg, seed=3, first_hit_cache=True)
     assert s.refine(2) > 0
     assert s.path_name.endswith("first-hit cache")
     key1 = s._fh_key
