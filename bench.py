@@ -173,37 +173,47 @@ def bench_mesh(width=1024, height=1024, spp=4, max_depth=4, queue=1 << 17,
     log(f"mesh path: queued wavefront + pallas MXU-treelet BVH "
         f"({scene.bvh.n_nodes} fine nodes), queue={queue}")
 
-    fh = None
+    pose = None
     if cached:
-        # Static-camera progressive refinement with the first-hit cache
-        # (reference ImagePlaneCache): depth-0 collisions gather from a
-        # G-buffer built once per pose; primaries do zero tree work.
-        from fspt_tpu.render.queue import compute_first_hits
+        # Static-camera progressive refinement with the warm-start
+        # first-hit cache (reference ImagePlaneCache): depth-0 resolves
+        # OUTSIDE the queue — misses/light hits prefill, only
+        # possibly-alive lanes enqueue at depth 1 — so iteration count
+        # drops by the primary share.
+        from fspt_tpu.render.queue import compute_warm_pose, warm_frame
 
         t0 = time.time()
-        fh = jax.jit(lambda: compute_first_hits(
+        pose = jax.jit(lambda: compute_warm_pose(
             scene, camera, cfg, 7, 0, intersector=inter, chunk=queue))()
-        jax.block_until_ready(fh)
-        log(f"first-hit cache build: {time.time()-t0:.1f}s")
+        jax.block_until_ready(pose)
+        log(f"first-hit cache build: {time.time()-t0:.1f}s "
+            f"(enqueue share {int(pose.n_live)}/{int(pose.ids.shape[0])})")
 
     # Return (segments, radiance sum) so the full image computation stays
     # live under jit — timing methodology matches a real render, not just
     # the segment counter (ADVICE r1).
-    def frame(f0):
-        out = render_queued(scene, camera, cfg, 7, f0 * cfg.spp,
-                            intersector=inter, queue=queue,
-                            cam_sample0=0 if cached else None,
-                            first_hits=fh)
+    # ``pose`` rides as a jit ARGUMENT: closed over it would bake ~370 MB
+    # of warm tables into the compile request as constants (HTTP 413
+    # through the relay).
+    def frame(f0, pose):
+        if cached:
+            warm = warm_frame(scene, camera, cfg, pose, 7, f0 * cfg.spp, 0)
+            out = render_queued(scene, camera, cfg, 7, f0 * cfg.spp,
+                                intersector=inter, queue=queue,
+                                cam_sample0=0, warm=warm)
+        else:
+            out = render_queued(scene, camera, cfg, 7, f0 * cfg.spp,
+                                intersector=inter, queue=queue)
         return out.segments, out.radiance.sum()
 
     fn = jax.jit(frame)
     t0 = time.time()
-    seg0 = int(fn(0)[0])
+    seg0 = int(fn(0, pose)[0])
     log(f"mesh compile+first frame: {time.time()-t0:.1f}s; segs={seg0}")
     rates = []
     for it in range(outer_iters):
         t0 = time.time()
-        segs, _ = fn(it + 1)
+        segs, _ = fn(it + 1, pose)
         segs = int(segs)
         dt = time.time() - t0
         rates.append(segs / dt)

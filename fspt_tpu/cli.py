@@ -42,11 +42,12 @@ def build_argparser():
                    help="checkpoint path; resumes if it exists, saves each frame")
     p.add_argument("--checkpoint-every", type=int, default=8)
     p.add_argument("--first-hit-cache", action="store_true",
-                   help="static-camera first-hit cache on the BVH path "
-                        "(reference ImagePlaneCache analog).  Exact, but "
-                        "measured slightly SLOWER than re-sweeping on the "
-                        "TPU design (primaries are the cheap coherent "
-                        "fraction of the treelet sweep) — see PERF_NOTES")
+                   help="warm-start first-hit cache on the BVH path "
+                        "(reference ImagePlaneCache analog): depth-0 "
+                        "resolves outside the queue while the camera is "
+                        "still.  Exact; ~1.2x per frame on the bench mesh "
+                        "scene, behind a one-time pose pass + compile that "
+                        "long runs amortize — see PERF_NOTES round 5")
     return p
 
 
@@ -98,19 +99,23 @@ def main(argv=None):
             if args.first_hit_cache else (None, None, None)
         if cstep is not None:
             print(f"render path: {cname}")
-            first_hits = jax.jit(cache_fn)(scene, camera, args.seed)
+            pose = jax.jit(cache_fn)(scene, camera, args.seed)
+
+            # The pose bundle rides as a jit argument — closed over it
+            # would bake the warm tables into the executable as constants.
+            cjit = jax.jit(lambda fb, frame_idx, p: cstep(
+                scene, camera, fb, args.seed, frame_idx, p))
 
             def step(fb, frame_idx):
-                return cstep(scene, camera, fb, args.seed, frame_idx,
-                             first_hits)
+                return cjit(fb, frame_idx, pose)
         else:
             name, scene_step = make_scene_step(scene, cfg)
             print(f"render path: {name}")
 
-            def step(fb, frame_idx):
-                return scene_step(scene, camera, fb, args.seed, frame_idx)
-
-    step = jax.jit(step)
+            step = jax.jit(lambda fb, frame_idx: scene_step(
+                scene, camera, fb, args.seed, frame_idx))
+    if tracer is not None:
+        step = jax.jit(step)
     fb = fb_mod.create(cfg.height, cfg.width)
     frame0 = 0
 

@@ -58,13 +58,13 @@ class RenderSession:
         self._fb = fb_mod.create(self.cfg.height, self.cfg.width)
         self._steps = {}
         self.path_name = None  # set on first refine()
-        # First-hit cache (reference ImagePlaneCache, engine.h:46-65):
-        # while the camera is still, progressive frames on the BVH path
-        # fetch depth-0 collisions from a persistent G-buffer keyed on the
-        # camera pose; orbit/focus/reset invalidate it (main.cpp:142-143).
-        # Off by default: exact and tested, but measured ~0.9x the plain
-        # queued render on TPU — primaries are the cheap coherent
-        # fraction of the treelet sweep there (PERF_NOTES round 5).
+        # Warm-start first-hit cache (reference ImagePlaneCache,
+        # engine.h:46-65): while the camera is still, depth-0 resolves
+        # outside the queue from a pose-keyed bundle; orbit/focus/reset
+        # invalidate it (main.cpp:142-143).  Exact and ~1.2x per frame on
+        # the bench mesh scene, but opt-in: the pose pass + one-time
+        # compile (~90 s on TPU) only pays off for long static-camera
+        # refinement (PERF_NOTES round 5).
         self.first_hit_cache = first_hit_cache
         self._cached = None   # (jit step, jit cache_fn) | False (n/a)
         self._fh = None       # current G-buffer

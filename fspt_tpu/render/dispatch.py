@@ -83,21 +83,26 @@ def make_cached_scene_step(scene: ScenePack, cfg: RenderConfig,
     Returns ``(name, step, cache_fn)`` where
     ``cache_fn(scene, camera, seed) → first_hits`` builds the depth-0
     G-buffer for the current camera pose and
-    ``step(scene, camera, fb, seed, frame_idx, first_hits) →
-    (fb, segments)`` renders one progressive frame fetching depth-0
-    collisions from it (bounce RNG advances per frame; the camera-uniform
-    stream is frozen at ``cam_sample0=0`` — the estimator the reference's
-    cache also computes, its cached collision being a frozen jittered
-    primary).  Returns ``(None, None, None)`` when the scene has no
-    BVH-queued path — callers fall back to :func:`make_scene_step`.
-    The session layer owns invalidation: rebuild ``first_hits`` whenever
-    the camera changes (main.cpp:142-143).
+    ``step(scene, camera, fb, seed, frame_idx, pose) → (fb, segments)``
+    renders one progressive frame in WARM-START form: depth-0 is
+    resolved outside the queue (misses/light hits pre-filled from the
+    pose bundle; only possibly-alive lanes enqueue, directly at depth 1
+    with per-frame shade state), so queue iterations drop by the primary
+    share.  Bounce RNG advances per frame; the camera-uniform stream is
+    frozen at ``cam_sample0=0`` — the estimator the reference's cache
+    also computes, its cached collision being a frozen jittered primary.
+    Returns ``(None, None, None)`` when the scene has no BVH-queued path
+    or the config can't warm-start (fast_render / depth<2 / edge_eps) —
+    callers fall back to :func:`make_scene_step`.  The session layer
+    owns invalidation: rebuild the pose bundle whenever the camera
+    changes (main.cpp:142-143).
     """
-    if scene.bvh is None or cfg.edge_eps != 0.0:
+    if (scene.bvh is None or cfg.edge_eps != 0.0
+            or cfg.effective_depth < 2 or cfg.fast_render):
         return None, None, None
     from fspt_tpu.ops.pallas_bvh import make_mesh_intersector
-    from fspt_tpu.render.queue import (DEFAULT_QUEUE, compute_first_hits,
-                                       render_queued)
+    from fspt_tpu.render.queue import (DEFAULT_QUEUE, compute_warm_pose,
+                                       render_queued, warm_frame)
 
     inter = make_mesh_intersector(scene)
     if inter is None:
@@ -105,15 +110,17 @@ def make_cached_scene_step(scene: ScenePack, cfg: RenderConfig,
     q = queue or DEFAULT_QUEUE
 
     def cache_fn(scene_in, camera, seed):
-        return compute_first_hits(scene_in, camera, cfg, seed, 0,
-                                  intersector=inter, chunk=q)
+        return compute_warm_pose(scene_in, camera, cfg, seed, 0,
+                                 intersector=inter, chunk=q)
 
-    def step(scene_in, camera, fb, seed, frame_idx, first_hits):
+    def step(scene_in, camera, fb, seed, frame_idx, pose):
         rows = fb.mean.shape[0]
+        warm = warm_frame(scene_in, camera, cfg, pose, seed,
+                          frame_idx * cfg.spp, 0, rows=rows)
         out = render_queued(scene_in, camera, cfg, seed,
                             frame_idx * cfg.spp, rows=rows,
                             intersector=inter, queue=q, cam_sample0=0,
-                            first_hits=first_hits)
+                            warm=warm)
         fb = fb_mod.accumulate(fb, out.radiance, out.aov_normal,
                                out.aov_depth, out.aov_mat,
                                rows, cfg.width, cfg.spp)

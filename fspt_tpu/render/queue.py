@@ -37,6 +37,8 @@ Möller–Trumbore replay.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -55,7 +57,7 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
                   seed, sample0, y0=0, rows=None, *, intersector,
                   queue: int = DEFAULT_QUEUE, aovs: bool = True,
                   record_hits: bool = False, cam_sample0=None,
-                  first_hits=None):
+                  first_hits=None, warm=None):
     """Render a band through a regenerating ray queue.
 
     Drop-in for ``render_wavefront`` — deterministically equivalent
@@ -85,11 +87,26 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
     tree work for them — engine.cpp:77-85's cache fetch).  Exact: cached
     and uncached renders of the same frozen-jitter estimator are equal
     (tests/test_queue.py).
+
+    ``warm`` (from :func:`warm_frame`) goes one step further: depth-0 is
+    resolved entirely OUTSIDE the queue.  Misses/light hits land in
+    pre-filled output buffers, and only possibly-alive lanes enqueue —
+    directly at depth 1 with their post-primary state — so the iteration
+    count drops by the primary share instead of depth-0 lanes occupying
+    queue slots.  Mutually exclusive with ``first_hits``/``record_hits``;
+    needs ``cfg.effective_depth >= 2``, ``edge_eps == 0`` and no
+    fast_render.  Returned ``segments`` includes the ``n`` cached depth-0
+    segments (the reference counts cache-served TraceSteps too,
+    engine.cpp:72/77-85).
     """
     if rows is None:
         rows = cfg.height
     if cam_sample0 is None:
         cam_sample0 = sample0
+    if warm is not None:
+        assert first_hits is None and not record_hits
+        assert cfg.effective_depth >= 2 and cfg.edge_eps == 0.0
+        assert not cfg.fast_render
     n = rows * cfg.width * cfg.spp
     q = min(queue, n)
     geom = scene.geometry
@@ -147,6 +164,40 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         st["cursor"] = st["cursor"] + jnp.sum(has.astype(jnp.int32))
         return st
 
+    def refill_warm(st):
+        """Assign post-primary (depth-1) lanes to dead slots: lane ids
+        come from the pose-frozen enqueue permutation, their state from
+        the per-frame warm table (one packed row gather).  Lanes whose
+        depth-0 shade says will_indirect=False arrive dead — their bias
+        radiance is already in the pre-filled output buffer — and free
+        the slot on the next iteration."""
+        dead = ~st["alive"]
+        rank = jnp.cumsum(dead.astype(jnp.int32))
+        new_idx = st["cursor"] + rank - 1
+        has = dead & (new_idx < warm["n_live"])
+        src = warm["ids"][jnp.where(has, new_idx, 0)]
+        row = warm["state"][jnp.where(has, src, 0)]  # [q, 22]
+        lane_id = jnp.where(has, src, jnp.where(dead, -1, st["lane_id"]))
+        h3 = has[:, None]
+        st = dict(st)
+        st["o"] = jnp.where(h3, row[:, 0:3], st["o"])
+        st["d"] = jnp.where(h3, row[:, 3:6], st["d"])
+        st["radiance"] = jnp.where(h3, row[:, 6:9], st["radiance"])
+        st["throughput"] = jnp.where(h3, row[:, 9:12], st["throughput"])
+        st["lane_id"] = lane_id
+        st["depth"] = jnp.where(has, 1, st["depth"])
+        st["alive"] = st["alive"] | (has & (row[:, 21] > 0.5))
+        st["plh"] = jnp.where(has, False, st["plh"])
+        st["fog_active"] = jnp.where(has, row[:, 12] > 0.5,
+                                     st["fog_active"])
+        st["fog_from"] = jnp.where(h3, row[:, 13:16], st["fog_from"])
+        st["fog_diffuse"] = jnp.where(h3, row[:, 16:19],
+                                      st["fog_diffuse"])
+        st["fog_density"] = jnp.where(has, row[:, 19], st["fog_density"])
+        st["fog_u"] = jnp.where(has, row[:, 20], st["fog_u"])
+        st["cursor"] = st["cursor"] + jnp.sum(has.astype(jnp.int32))
+        return st
+
     def scatter_mask(buf, mask, idx, val, pad=None):
         """Predicated scatter-set: rows where ``mask`` write, others drop.
 
@@ -179,7 +230,7 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         return buf.at[tgt].set(val, mode="drop", unique_indices=True)
 
     def body(st):
-        st = refill(st)
+        st = refill(st) if warm is None else refill_warm(st)
         o, d, alive = st["o"], st["d"], st["alive"]
         depth = st["depth"]
         radiance, throughput = st["radiance"], st["throughput"]
@@ -344,10 +395,13 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         return out
 
     def cond(st):
-        return (st["cursor"] < n) | jnp.any(st["alive"])
+        limit = n if warm is None else warm["n_live"]
+        return (st["cursor"] < limit) | jnp.any(st["alive"])
 
     z3 = jnp.zeros((q, 3), f32)
     z1 = jnp.zeros((q,), f32)
+    pad3 = lambda a: jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:],
+                                                   a.dtype)])
     state = {
         "o": z3, "d": z3, "radiance": z3, "throughput": z3,
         "lane_id": jnp.full((q,), -1, jnp.int32),
@@ -358,10 +412,14 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         "fog_from": z3, "fog_diffuse": z3, "fog_density": z1, "fog_u": z1,
         "cursor": jnp.zeros((), jnp.int32),
         "segments": jnp.zeros((), jnp.int32),
-        "radiance_buf": jnp.zeros((n + 1, 3), f32),
-        "aov_normal": jnp.zeros((n + 1, 3), f32),
-        "aov_depth": jnp.zeros((n + 1,), f32),
-        "aov_mat": jnp.zeros((n + 1,), jnp.int32),
+        "radiance_buf": pad3(warm["radiance_init"]) if warm is not None
+        else jnp.zeros((n + 1, 3), f32),
+        "aov_normal": pad3(warm["aov_normal"]) if warm is not None
+        else jnp.zeros((n + 1, 3), f32),
+        "aov_depth": pad3(warm["aov_depth"]) if warm is not None
+        else jnp.zeros((n + 1,), f32),
+        "aov_mat": pad3(warm["aov_mat"]) if warm is not None
+        else jnp.zeros((n + 1,), jnp.int32),
     }
     if record_hits:
         # q pad rows (not 1): scatter_unique gives every dropped lane its
@@ -369,12 +427,15 @@ def render_queued(scene: ScenePack, camera: Camera, cfg: RenderConfig,
         state["rec_ids"] = jnp.full((n * eff_depth + q,), -1, jnp.int32)
         state["rec_hit"] = jnp.zeros((n * eff_depth + q,), bool)
     st = jax.lax.while_loop(cond, body, state)
+    segments = st["segments"]
+    if warm is not None:
+        segments = segments + jnp.int32(n)  # cache-served depth-0 segments
     out = TraceOutput(
         radiance=st["radiance_buf"][:n],
         aov_normal=st["aov_normal"][:n],
         aov_depth=st["aov_depth"][:n],
         aov_mat=st["aov_mat"][:n],
-        segments=st["segments"],
+        segments=segments,
     )
     if record_hits:
         return out, (st["rec_ids"][:n * eff_depth].reshape(n, eff_depth),
@@ -421,3 +482,124 @@ def compute_first_hits(scene: ScenePack, camera: Camera, cfg: RenderConfig,
     hits = jax.lax.map(one, lanes)
     return jax.tree.map(
         lambda a: a.reshape((n_pad,) + a.shape[2:])[:n], hits)
+
+
+class WarmPose(NamedTuple):
+    """Pose-frozen half of the warm-start first-hit design (see
+    :func:`render_queued` ``warm``): everything that depends only on the
+    camera pose — the first-hit G-buffer, the enqueue permutation
+    (hit & non-light lanes first; hit-aliveness is deterministic given
+    frozen primaries), and pre-filled output buffers for the lanes that
+    terminate at depth 0 deterministically (miss → sky, light hit →
+    clamped emission) plus the depth-0 AOVs."""
+
+    first_hits: object     # Hit SoA [n]
+    ids: jnp.ndarray       # [n] enqueue-ordered lane ids
+    n_live: jnp.ndarray    # [] int32, count of enqueue lanes
+    prefill: jnp.ndarray   # [n,3] radiance of deterministically-dead lanes
+    aov_normal: jnp.ndarray
+    aov_depth: jnp.ndarray
+    aov_mat: jnp.ndarray
+
+
+def compute_warm_pose(scene: ScenePack, camera: Camera, cfg: RenderConfig,
+                      seed, cam_sample0, *, intersector, y0=0, rows=None,
+                      chunk: int = DEFAULT_QUEUE) -> WarmPose:
+    """Build the pose-frozen warm-start bundle (one intersection pass)."""
+    if rows is None:
+        rows = cfg.height
+    n = rows * cfg.width * cfg.spp
+    table, tex = scene.materials, scene.textures
+    fh = compute_first_hits(scene, camera, cfg, seed, cam_sample0,
+                            intersector=intersector, y0=y0, rows=rows,
+                            chunk=chunk)
+    lanes = jnp.arange(n, dtype=jnp.int32)
+    o, d, _, _ = rays_for_lanes(camera, cfg.width, cfg.height, cfg.spp,
+                                seed, cam_sample0, lanes, y0=y0)
+    view_dir = vm.normalize(d)
+    side = vm.dot(fh.normal, o - fh.point)
+    normal = jnp.where((side < 0.0)[:, None], -fh.normal, fh.normal)
+    view = vm.normalize(fh.point - o)
+    # Deterministic classification: is_light depends only on the material
+    # row, and a light's bias is its (possibly textured) emission — no
+    # RNG reaches either, so zero uniforms are exact here.
+    sh0 = mat_mod.shade(table, tex, fh.mat, view, normal, fh.texcoords,
+                        jnp.zeros((n, 4), jnp.float32))
+    miss = ~fh.hit
+    light_hit = fh.hit & sh0.is_light
+    enqueue = fh.hit & ~sh0.is_light
+    order = jnp.argsort(~enqueue, stable=True).astype(jnp.int32)
+    n_live = jnp.sum(enqueue.astype(jnp.int32))
+
+    sky_rgb = mat_mod.sample_sky(table, tex, scene.sky_mat, view_dir)
+    # Depth-0 light tone clamp (plh lanes, integrator semantics).
+    r_light = sh0.bias
+    norm2 = jnp.sqrt(jnp.maximum(vm.dot(r_light, r_light), 1e-20))
+    scale = jnp.where(norm2 > cfg.light_clamp, cfg.light_clamp / norm2, 1.0)
+    prefill = (jnp.where(miss[:, None], sky_rgb, 0.0)
+               + jnp.where(light_hit[:, None], r_light * scale[:, None],
+                           0.0))
+    z_far = camera.z_far
+    aovn = jnp.where(fh.hit[:, None], normal, view_dir)
+    aovd = jnp.where(fh.hit, vm.length(fh.point - o), z_far)
+    aovm = jnp.where(fh.hit, fh.mat, scene.sky_mat)
+    return WarmPose(first_hits=fh, ids=order, n_live=n_live,
+                    prefill=prefill, aov_normal=aovn, aov_depth=aovd,
+                    aov_mat=aovm)
+
+
+def warm_frame(scene: ScenePack, camera: Camera, cfg: RenderConfig,
+               pose: WarmPose, seed, sample0, cam_sample0, y0=0,
+               rows=None):
+    """Per-frame half: depth-0 shading of the frozen hits (bounce RNG
+    advances with ``sample0``), packed into the warm table
+    :func:`render_queued` consumes.  No intersections.
+
+    Returns the ``warm`` dict for ``render_queued``.  Layout of
+    ``state`` [n, 22]: o 0:3, d 3:6, radiance 6:9, throughput 9:12,
+    fog_active 12, fog_from 13:16, fog_diffuse 16:19, fog_density 19,
+    fog_u 20, alive 21.
+    """
+    if rows is None:
+        rows = cfg.height
+    n = rows * cfg.width * cfg.spp
+    table, tex = scene.materials, scene.textures
+    fh = pose.first_hits
+    lanes = jnp.arange(n, dtype=jnp.int32)
+    o, d, _, _ = rays_for_lanes(camera, cfg.width, cfg.height, cfg.spp,
+                                seed, cam_sample0, lanes, y0=y0)
+    pix = (lanes // (cfg.width * cfg.spp) + y0) * cfg.width + (
+        lanes // cfg.spp) % cfg.width
+    smp = lanes % cfg.spp + jnp.asarray(sample0, jnp.int32)
+    uniforms = rng.bounce_uniforms(seed, pix, smp, jnp.zeros_like(lanes),
+                                   cfg.bounce_slots)
+    side = vm.dot(fh.normal, o - fh.point)
+    normal = jnp.where((side < 0.0)[:, None], -fh.normal, fh.normal)
+    view = vm.normalize(fh.point - o)
+    sh = mat_mod.shade(table, tex, fh.mat, view, normal, fh.texcoords,
+                       uniforms)
+    z_far = camera.z_far
+    new_o = fh.point + sh.direction * cfg.ray_offset
+    new_d = sh.direction * (z_far - cfg.ray_offset)
+    radiance0 = sh.bias        # throughput = 1 at depth 0
+    coef0 = sh.coef
+    enqueue = fh.hit & ~sh.is_light
+    alive1 = enqueue & sh.will_indirect
+    mark = enqueue & sh.is_fog
+    f32 = jnp.float32
+    state = jnp.concatenate([
+        new_o, new_d, radiance0, coef0,
+        mark.astype(f32)[:, None],
+        jnp.where(mark[:, None], fh.point, 0.0),
+        sh.fog_diffuse, sh.fog_density[:, None],
+        uniforms[:, 3:4],
+        alive1.astype(f32)[:, None],
+    ], axis=1)
+    # Lanes that die at depth 0 per-frame (will_indirect False on a
+    # non-light hit): their bias radiance joins the pose prefill (no
+    # clamp — plh is False for non-light primaries).
+    patch = jnp.where((enqueue & ~alive1)[:, None], radiance0, 0.0)
+    return dict(ids=pose.ids, n_live=pose.n_live, state=state,
+                radiance_init=pose.prefill + patch,
+                aov_normal=pose.aov_normal, aov_depth=pose.aov_depth,
+                aov_mat=pose.aov_mat)

@@ -216,3 +216,74 @@ def test_render_session_first_hit_cache_invalidation():
     s.orbit(0.2, 0.0)
     s.refine(1)
     assert s._fh_key != key1  # pose changed → rebuilt
+
+
+def test_warm_start_matches_uncached():
+    """Warm-start first-hit design: depth-0 resolved outside the queue
+    (pose prefill + per-frame shade + depth-1 enqueue) reproduces the
+    uncached frozen-jitter render exactly — radiance, AOVs, and the
+    reference segment accounting (cache-served depth-0 counts)."""
+    import jax
+
+    from fspt_tpu.ops.pallas_bvh import make_mesh_intersector
+    from fspt_tpu.render.queue import compute_warm_pose, warm_frame
+
+    builder = build_bvh_scene(grid=10)
+    scene = builder.compile()
+    cam = builder.cameras[0]
+    cfg = RenderConfig(width=16, height=12, spp=2, max_depth=3)
+    inter = make_mesh_intersector(scene)
+    pose = jax.jit(lambda: compute_warm_pose(
+        scene, cam, cfg, 7, 0, intersector=inter, chunk=128))()
+    assert int(pose.n_live) > 0
+    for frame in (0, 3):  # bounce counter advances, camera stream frozen
+        ref = render_queued(scene, cam, cfg, 7, frame * cfg.spp,
+                            intersector=inter, queue=256, cam_sample0=0)
+        warm = warm_frame(scene, cam, cfg, pose, 7, frame * cfg.spp, 0)
+        out = render_queued(scene, cam, cfg, 7, frame * cfg.spp,
+                            intersector=inter, queue=256, cam_sample0=0,
+                            warm=warm)
+        np.testing.assert_allclose(np.asarray(ref.radiance),
+                                   np.asarray(out.radiance),
+                                   rtol=2e-3, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ref.aov_normal),
+                                   np.asarray(out.aov_normal),
+                                   rtol=2e-3, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ref.aov_depth),
+                                   np.asarray(out.aov_depth), rtol=2e-3)
+        np.testing.assert_array_equal(np.asarray(ref.aov_mat),
+                                      np.asarray(out.aov_mat))
+        assert int(ref.segments) == int(out.segments)
+
+
+def test_warm_start_matches_uncached_cornell_fog():
+    """Warm start on an analytic scene with fog + specular: the depth-0
+    fog deferral and light clamp must survive the restructure (masks run
+    per-lane, not per-iteration)."""
+    import jax
+
+    from fspt_tpu.ops.intersect import intersect_scene
+    from fspt_tpu.render.queue import compute_warm_pose, warm_frame
+
+    builder = build_cornell_box(with_specular=True, with_fog=True)
+    scene = builder.compile()
+    cam = builder.cameras[0]
+    cfg = RenderConfig(width=16, height=12, spp=2, max_depth=4)
+
+    def inter(o, d, alive=None):
+        return intersect_scene(scene.geometry, o, d)
+
+    inter.accepts_alive = True
+    pose = jax.jit(lambda: compute_warm_pose(
+        scene, cam, cfg, 11, 0, intersector=inter, chunk=128))()
+    for frame in (0, 2):
+        ref = render_queued(scene, cam, cfg, 11, frame * cfg.spp,
+                            intersector=inter, queue=256, cam_sample0=0)
+        warm = warm_frame(scene, cam, cfg, pose, 11, frame * cfg.spp, 0)
+        out = render_queued(scene, cam, cfg, 11, frame * cfg.spp,
+                            intersector=inter, queue=256, cam_sample0=0,
+                            warm=warm)
+        np.testing.assert_allclose(np.asarray(ref.radiance),
+                                   np.asarray(out.radiance),
+                                   rtol=2e-3, atol=2e-5)
+        assert int(ref.segments) == int(out.segments)
