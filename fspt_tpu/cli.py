@@ -45,7 +45,7 @@ def build_argparser():
                    help="warm-start first-hit cache on the BVH path "
                         "(reference ImagePlaneCache analog): depth-0 "
                         "resolves outside the queue while the camera is "
-                        "still.  Exact; ~1.2x per frame on the bench mesh "
+                        "still.  Exact; ~1.26x per frame on the bench mesh "
                         "scene, behind a one-time pose pass + compile that "
                         "long runs amortize — see PERF_NOTES round 5")
     return p

@@ -61,7 +61,7 @@ class RenderSession:
         # Warm-start first-hit cache (reference ImagePlaneCache,
         # engine.h:46-65): while the camera is still, depth-0 resolves
         # outside the queue from a pose-keyed bundle; orbit/focus/reset
-        # invalidate it (main.cpp:142-143).  Exact and ~1.2x per frame on
+        # invalidate it (main.cpp:142-143).  Exact and ~1.26x per frame on
         # the bench mesh scene, but opt-in: the pose pass + one-time
         # compile (~90 s on TPU) only pays off for long static-camera
         # refinement (PERF_NOTES round 5).

@@ -258,7 +258,9 @@ def test_fused_loss_grad_backward_modes_agree():
     gradients (up to float re-association), and segment count."""
     from fspt_tpu.ops.pallas_grad import make_fused_loss_grad_fn
 
-    scene, cam, cfg = _setup(width=16, height=12, spp=2, max_depth=4)
+    # depth 3, not 4: each extra unrolled bounce roughly doubles the
+    # interpret-mode whole-chain vjp's CPU compile (minutes per kernel).
+    scene, cam, cfg = _setup(width=16, height=12, spp=2, max_depth=3)
     f_af = make_fused_loss_grad_fn(scene, cam, cfg, affine=True)
     f_rm = make_fused_loss_grad_fn(scene, cam, cfg, affine=False, remat=True)
     f_un = make_fused_loss_grad_fn(scene, cam, cfg, affine=False, remat=False)
@@ -310,7 +312,9 @@ def test_fused_loss_camera_gradient_matches_planar():
     # gradient covers aperture/focal_depth too.
     cam = Camera.create(origin=(3.0, -2.0, -140.0), target=(1.0, 0.5, 0.0),
                         aperture_size=1.5, focal_depth=120.0)
-    cfg = RenderConfig(width=16, height=12, spp=2, max_depth=3)
+    # Small config: the whole-chain camera vjp compile dominates suite
+    # wall time in interpret mode (minutes per (remat, config) pair).
+    cfg = RenderConfig(width=12, height=8, spp=1, max_depth=2)
     rng = np.random.default_rng(2)
     target = rng.random((cfg.height, cfg.width, 3)).astype(np.float32)
     tgt_lane = jnp.repeat(jnp.asarray(target).reshape(-1, 3), cfg.spp,
